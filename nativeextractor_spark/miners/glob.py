@@ -1,0 +1,171 @@
+"""Glob miner: compile reference glob patterns to anchored regexes.
+
+Reference implementation: ``/root/reference/src/miners/glob_entities.c:124-260``
+(parser/backtracker), validator ``is_glob`` (:263-308), delimiter-skip macro
+``retnul`` (:29-37). Semantics reproduced here (verified against the golden
+counts in ``/root/reference/tests/glob.c``):
+
+- Matching is **case-insensitive** per pattern char: the text char must equal
+  ``tolower(c)`` or ``toupper(c)`` of the pattern char (:40-55).
+- Candidate match starts are BOF or any position immediately after a delimiter
+  (space ∪ punct ∪ cntrl): on failure the scan skips past the next delimiter
+  (``retnul``), on success the token-end delimiter is consumed — both resume
+  the scan at a post-delimiter position. Encoded as the anchor
+  ``(?:\\A|(?<=[delim]))``.
+- ``?`` = one non-delimiter char (:57-63).
+- ``*`` at pattern end = greedy run of non-delimiters to token end (:153-159).
+- ``*`` mid-pattern = shortest extension such that the rest matches, tried at
+  the current position first, then at successive positions whose char is
+  non-delimiter (:161-191). Encoded as ``(?:|[^delim]+?(?=[^delim]))`` —
+  the lookahead reproduces the reference's refusal to restart the rest at a
+  delimiter position after non-zero consumption (:190).
+- ``[set]`` supports escapes and ``a-b`` codepoint ranges; each range member
+  matches case-insensitively; an escape also admits a literal backslash
+  (quirk of the reference parse loop, :196-225 — the ``\\`` char itself is
+  probed by ``match_character`` before the escaped char is).
+- The match must end at a delimiter or EOF (:257); empty matches are rejected
+  (``make_occurrence``, ``/root/reference/src/miner.c:261-264``).
+
+Executed with ``re.finditer`` (leftmost non-overlapping — the reference's
+per-miner scan rule, ``/root/reference/src/extractor.c:59``).
+"""
+
+from __future__ import annotations
+
+import re
+
+from nativeextractor_spark.functions.unicode import class_body
+from nativeextractor_spark.miners.base import PatternMiner
+
+_RANGE_EXPAND_LIMIT = 4096
+
+
+def is_glob(glob: str) -> bool:
+    """Syntactic validation (glob_entities.c:263-308)."""
+    brackets = 0
+    escape = False
+    prelast: str | None = None
+    last: str | None = None
+    for ch in glob:
+        if escape:
+            escape = False
+            prelast, last = last, ch
+            continue
+        if ch == "-":
+            if brackets > 0 and (last == "-" or prelast == "-"):
+                return False
+        elif ch == "\\":
+            escape = True
+        elif ch == "[":
+            brackets += 1
+        elif ch == "]":
+            brackets -= 1
+            if brackets < 0:
+                return False
+        prelast, last = last, ch
+    return brackets == 0
+
+
+def _case_variants(ch: str) -> set[str]:
+    """Chars the reference's match_character accepts for pattern char ``ch``.
+
+    Tries tolower then toupper (glob_entities.c:40-55); multi-char case
+    mappings (e.g. ß→SS) have no single-codepoint equivalent and fall back to
+    the char itself.
+    """
+    out = {v for v in (ch.lower(), ch.upper()) if len(v) == 1}
+    return out or {ch}
+
+
+def _escape_in_class(ch: str) -> str:
+    if ch in r"\^]-[":
+        return "\\" + ch
+    cp = ord(ch)
+    if cp < 0x20 or 0x7F <= cp < 0xA0:
+        return f"\\u{cp:04x}"
+    return ch
+
+
+def _class_of(chars: set[str], ranges: list[tuple[int, int]]) -> str:
+    parts = [_escape_in_class(c) for c in sorted(chars)]
+    for lo, hi in ranges:
+        if lo == hi:
+            parts.append(_escape_in_class(chr(lo)))
+        else:
+            parts.append(f"{_escape_in_class(chr(lo))}-{_escape_in_class(chr(hi))}")
+    return "[" + "".join(parts) + "]"
+
+
+def _parse_set(glob: str, i: int) -> tuple[str, int]:
+    """Parse a ``[...]`` set starting just after '['; mirrors the reference's
+    do-while at glob_entities.c:196-225. Returns (class regex, next index)."""
+    chars: set[str] = set()
+    ranges: list[tuple[int, int]] = []
+    last: str | None = None
+    n = len(glob)
+    while True:
+        if i >= n:  # unbalanced — is_glob() rejects this upfront
+            raise ValueError("unterminated [set] in glob")
+        c = glob[i]
+        if last == "\\":
+            chars.update(_case_variants(c))
+        elif c == "-" and last is not None:
+            lo, hi = ord(last), ord(glob[i + 1]) if i + 1 < n else ord(last)
+            if hi - lo <= _RANGE_EXPAND_LIMIT:
+                for cp in range(lo, hi + 1):
+                    chars.update(_case_variants(chr(cp)))
+            else:
+                ranges.append((lo, hi))
+            i += 1  # throw away dash; now at range-end char
+            c = glob[i]
+        else:
+            chars.update(_case_variants(c))
+        last = c
+        i += 1
+        if i < n and glob[i] == "]" and last != "\\":
+            return _class_of(chars, ranges), i + 1
+
+
+def glob_to_regex(glob: str) -> str:
+    """Compile a reference glob into an equivalent Python regex."""
+    if not is_glob(glob):
+        raise ValueError(f"{glob!r} is not a syntactically correct glob")
+    d = class_body("delim")
+    nondelim = f"[^{d}]"
+    body: list[str] = []
+    i, n = 0, len(glob)
+    while i < n:
+        ch = glob[i]
+        if ch == "*":
+            if i + 1 == n:
+                body.append(f"{nondelim}*")
+            else:
+                # zero consumption allowed anywhere; non-zero requires the
+                # rest to restart at a non-delimiter char (retnul at :190)
+                body.append(f"(?:|{nondelim}+?(?={nondelim}))")
+            i += 1
+        elif ch == "[":
+            cls, i = _parse_set(glob, i + 1)
+            body.append(cls)
+        elif ch == "\\":
+            if i + 1 < n:
+                body.append(_class_of(_case_variants(glob[i + 1]), []))
+            i += 2
+        elif ch == "?":
+            body.append(nondelim)
+            i += 1
+        else:
+            body.append(_class_of(_case_variants(ch), []))
+            i += 1
+    anchor = f"(?:\\A|(?<=[{d}]))"
+    tail = f"(?:(?=[{d}])|\\Z)"
+    return anchor + "".join(body) + tail
+
+
+class GlobMiner(PatternMiner):
+    """Miner matching one glob pattern; label defaults to "Glob" like the
+    reference factory (glob_entities.c:311-317)."""
+
+    def __init__(self, glob: str, label: str = "Glob", prob: float = 1.0):
+        super().__init__(label, glob_to_regex(glob), prob)
+        self.glob = glob

@@ -1,0 +1,113 @@
+"""Gazetteer NER miner: whitespace tokens × longest-prefix dictionary lookup.
+
+Reference: ``/root/reference/src/ner.c:20-37`` — a token is a maximal run of
+non-space chars starting at BOF or after a delimiter; the Patricia trie
+(``/root/reference/src/patricia.c``) returns the longest prefix (in BYTES) the
+token shares with any dictionary key; the token is an occurrence iff
+``matched_bytes / token_bytes >= 0.75`` (threshold at ner.c:31).
+
+Spark-first design: the trie is replaced by a **sorted key array broadcast to
+executors** — the longest common prefix of a probe with any key equals the max
+of its common prefixes with the two neighbors at its ``np.searchsorted``
+insertion point (the radix-walk equivalent; trie D3/D4 ops at
+``patricia.c:157-300`` reduce to one binary search). Per-key payloads
+(``patricia.c:523-552``) become an id array aligned with the keys — that is
+the entity-linking map. Loading a dictionary from CSV
+(``patricia_c_create_from_stream``, ``patricia.c:366-381``) is
+``spark.read.csv`` at the driver + broadcast; trie save/mmap-load
+(``patricia.c:458-521``) is parquet write + re-broadcast.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Iterator, Sequence
+
+import numpy as np
+
+from nativeextractor_spark.functions.unicode import class_body
+from nativeextractor_spark.miners.base import Miner, Occurrence
+
+NER_PREFIX_RATIO = 0.75  # ner.c:31
+
+
+def _common_prefix_len(a: bytes, b: bytes) -> int:
+    n = min(len(a), len(b))
+    i = 0
+    while i < n and a[i] == b[i]:
+        i += 1
+    return i
+
+
+@dataclass
+class AliasDict:
+    """Sorted-array gazetteer with optional per-key payloads (entity ids)."""
+
+    keys: np.ndarray  # sorted array of bytes objects (dtype=object)
+    payloads: dict[bytes, int] = field(default_factory=dict)
+
+    @classmethod
+    def from_aliases(
+        cls, aliases: Sequence[str], entity_ids: Sequence[int] | None = None
+    ) -> "AliasDict":
+        enc = [a.encode("utf-8") for a in aliases]
+        payloads = dict(zip(enc, entity_ids)) if entity_ids is not None else {}
+        keys = np.array(sorted(set(enc)), dtype=object)
+        return cls(keys=keys, payloads=payloads)
+
+    def longest_prefix(self, probes: Sequence[bytes]) -> np.ndarray:
+        """Longest common prefix length (bytes) of each probe with any key.
+
+        Equivalent of ``patricia_c_search`` (patricia.c:282-300): one binary
+        search per probe, then prefix compare with the two neighbors.
+        """
+        probes_arr = np.array(probes, dtype=object)
+        idx = np.searchsorted(self.keys, probes_arr)
+        out = np.zeros(len(probes), dtype=np.int64)
+        nkeys = len(self.keys)
+        for i, (p, j) in enumerate(zip(probes, idx)):
+            best = 0
+            if j < nkeys:
+                best = _common_prefix_len(p, self.keys[j])
+            if j > 0:
+                best = max(best, _common_prefix_len(p, self.keys[j - 1]))
+            out[i] = best
+        return out
+
+    def lookup(self, probe: bytes) -> int | None:
+        """Exact-key payload lookup (terminal-node user data, D6)."""
+        return self.payloads.get(probe)
+
+
+class GazetteerMiner(Miner):
+    """NER miner over a broadcast :class:`AliasDict` (ner.c parity)."""
+
+    def __init__(self, index: AliasDict, label: str = "NER"):
+        self.label = label
+        self.index = index
+        self._token_re: re.Pattern | None = None
+
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state["_token_re"] = None
+        return state
+
+    @property
+    def token_re(self) -> re.Pattern:
+        if self._token_re is None:
+            # token = maximal non-space run (match_fn_plus(not_isspace), ner.c:26)
+            self._token_re = re.compile(f"[^{class_body('space')}]+")
+        return self._token_re
+
+    def find(self, text: str) -> Iterator[Occurrence]:
+        spans = [(m.start(), m.end()) for m in self.token_re.finditer(text)]
+        if not spans:
+            return
+        probes = [text[s:e].encode("utf-8") for s, e in spans]
+        matched = self.index.longest_prefix(probes)
+        lens = np.array([len(p) for p in probes], dtype=np.int64)
+        ok = matched.astype(np.float64) / lens >= NER_PREFIX_RATIO
+        for (s, e), good in zip(spans, ok):
+            if good:
+                yield Occurrence(s, e, self.label, 1.0)

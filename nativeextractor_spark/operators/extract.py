@@ -1,0 +1,194 @@
+"""Document scan → occurrences: the extractor core as a mapInPandas kernel.
+
+Reference lifecycle (``/root/reference/src/extractor.c:205-261``): N miners
+scan one stream in a thread pool, outputs are unioned, optionally filtered
+for enclosed spans (``E_NO_ENCLOSED_OCCURRENCES``, :145-203) and sorted by
+(pos asc, len asc) (``E_SORT_RESULTS``, :102-123).
+
+Spark inversion: the reference parallelizes miners-within-one-stream; we
+parallelize documents-across-tasks (one Arrow batch of documents per kernel
+call, all miners per document — same result set because miners are
+independent and outputs are unioned). The canonical mode scans whole
+documents (batch = document), so the cross-batch ``last_max`` approximation
+(extractor.c:69-76) never applies and filtering is exact.
+
+Scale notes (100 TB design):
+- The kernel is the ONLY data-path Python; everything feeding it is a
+  columnar parquet/Iceberg scan with column pruning (only ``url, text`` are
+  read — the ``html`` binary never leaves the scan).
+- No shuffle: occurrences are emitted directly from the scan task. Sorting
+  and the enclosed filter are per-document and run in-kernel on NumPy arrays.
+- Miners are compiled once at the driver and shipped by closure pickling —
+  compile-once/broadcast, the analogue of the reference's ``.so`` cache
+  (extractor.c:316-336).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+
+from nativeextractor_spark.functions.unicode import char_byte_offsets
+from nativeextractor_spark.miners.base import Miner
+
+OCCURRENCE_FIELDS = ["pos", "upos", "len", "ulen", "label", "prob", "str"]
+OCCURRENCE_SCHEMA = (
+    "url string, pos long, upos long, len int, ulen int,"
+    " label string, prob float, str string"
+)
+
+
+def enclosed_keep_mask(pos: np.ndarray, end: np.ndarray) -> np.ndarray:
+    """Vectorized E_NO_ENCLOSED_OCCURRENCES (extractor.c:145-203).
+
+    Drop span b iff some span a satisfies ``a.pos <= b.pos && b.end <= a.end``
+    and (a.pos, a.end) != (b.pos, b.end) — identical spans with different
+    labels are kept (extractor.c:166-169).
+
+    O(n log n): sort unique spans by (pos asc, end desc); a span is dominated
+    iff the running max end over strictly-smaller pos reaches its end, or an
+    equal-pos span has a strictly larger end.
+    """
+    n = pos.size
+    if n <= 1:
+        return np.ones(n, dtype=bool)
+    spans = np.stack([pos, end], axis=1)
+    uniq, inverse = np.unique(spans, axis=0, return_inverse=True)
+    upos, uend = uniq[:, 0], uniq[:, 1]
+    order = np.lexsort((-uend, upos))  # pos asc, end desc
+    spos, send = upos[order], uend[order]
+    m = spos.size
+    # max end within each pos group = end of the group's first row
+    group_first = np.concatenate(([True], spos[1:] != spos[:-1]))
+    first_idx = np.maximum.accumulate(np.where(group_first, np.arange(m), 0))
+    max_end_in_group = send[first_idx]
+    # running max end over all strictly-earlier pos groups
+    group_start_positions = np.flatnonzero(group_first)
+    group_max = send[group_start_positions]  # per-group max end (first row)
+    prev_group_cummax = np.concatenate(
+        ([np.iinfo(np.int64).min], np.maximum.accumulate(group_max)[:-1])
+    )
+    group_id = np.cumsum(group_first) - 1
+    dominated = (prev_group_cummax[group_id] >= send) | (max_end_in_group > send)
+    keep_sorted = ~dominated
+    keep_uniq = np.empty(m, dtype=bool)
+    keep_uniq[order] = keep_sorted
+    return keep_uniq[inverse]
+
+
+def scan_document(
+    text: str,
+    miners: Sequence[Miner],
+    *,
+    no_enclosed: bool = True,
+    sort_results: bool = True,
+) -> dict[str, np.ndarray | list]:
+    """Run all miners over one document; returns occurrence columns.
+
+    Exact whole-document equivalent of the reference ``next()`` loop with
+    E_SORT_RESULTS | E_NO_ENCLOSED_OCCURRENCES.
+    """
+    ustarts: list[int] = []
+    uends: list[int] = []
+    labels: list[str] = []
+    probs: list[float] = []
+    for miner in miners:  # O1 union by construction
+        for occ in miner.find(text):
+            ustarts.append(occ.ustart)
+            uends.append(occ.uend)
+            labels.append(occ.label)
+            probs.append(occ.prob)
+
+    us = np.asarray(ustarts, dtype=np.int64)
+    ue = np.asarray(uends, dtype=np.int64)
+    if text.isascii():
+        pos, end = us, ue
+    else:
+        offsets = char_byte_offsets(text)
+        pos, end = offsets[us], offsets[ue]
+
+    if no_enclosed and us.size:
+        keep = enclosed_keep_mask(pos, end)
+        us, ue, pos, end = us[keep], ue[keep], pos[keep], end[keep]
+        labels = [l for l, k in zip(labels, keep) if k]
+        probs = [p for p, k in zip(probs, keep) if k]
+
+    if sort_results and us.size:  # O2: (pos asc, len asc); label for determinism
+        lens = end - pos
+        order = np.lexsort((np.asarray(labels, dtype=object), lens, pos))
+        us, ue, pos, end = us[order], ue[order], pos[order], end[order]
+        labels = [labels[i] for i in order]
+        probs = [probs[i] for i in order]
+
+    return {
+        "pos": pos,
+        "upos": us,
+        "len": (end - pos).astype(np.int32),
+        "ulen": (ue - us).astype(np.int32),
+        "label": labels,
+        "prob": np.asarray(probs, dtype=np.float32),
+        "str": [text[s:e] for s, e in zip(us, ue)],
+    }
+
+
+def _make_kernel(
+    miners: Sequence[Miner], no_enclosed: bool, sort_results: bool, key_col: str
+):
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames = []
+            for key, text in zip(pdf[key_col], pdf["text"]):
+                if not isinstance(text, str) or not text:
+                    continue  # empty stream yields EOF immediately (stream.c:64-67)
+                cols = scan_document(
+                    text, miners, no_enclosed=no_enclosed, sort_results=sort_results
+                )
+                if len(cols["label"]) == 0:
+                    continue
+                frame = pd.DataFrame(cols)
+                frame.insert(0, key_col, key)
+                frames.append(frame)
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+            else:
+                yield pd.DataFrame(
+                    {
+                        key_col: pd.Series([], dtype=object),
+                        "pos": pd.Series([], dtype=np.int64),
+                        "upos": pd.Series([], dtype=np.int64),
+                        "len": pd.Series([], dtype=np.int32),
+                        "ulen": pd.Series([], dtype=np.int32),
+                        "label": pd.Series([], dtype=object),
+                        "prob": pd.Series([], dtype=np.float32),
+                        "str": pd.Series([], dtype=object),
+                    }
+                )
+
+    return kernel
+
+
+def extract_occurrences(
+    pages_df,
+    miners: Sequence[Miner],
+    *,
+    no_enclosed: bool = True,
+    sort_results: bool = True,
+    key_col: str = "url",
+    text_col: str = "text",
+):
+    """pages (key, text, ...) → occurrences DataFrame.
+
+    Column-prunes to (key, text) before the kernel so the parquet scan never
+    reads other columns (e.g. the ``html`` binary).
+    """
+    from pyspark.sql import functions as F
+
+    schema = OCCURRENCE_SCHEMA.replace("url string", f"{key_col} string", 1)
+    projected = pages_df.select(
+        F.col(key_col).cast("string").alias(key_col),
+        F.col(text_col).alias("text"),
+    )
+    kernel = _make_kernel(list(miners), no_enclosed, sort_results, key_col)
+    return projected.mapInPandas(kernel, schema=schema)

@@ -1,0 +1,99 @@
+"""Builtin miner parity tests on reference fixture texts (FIXTURES.md §2)."""
+
+import numpy as np
+
+from nativeextractor_spark.functions.unicode import char_byte_offsets
+from nativeextractor_spark.miners import (
+    AliasDict,
+    EmailMiner,
+    GazetteerMiner,
+    RegexMiner,
+    TEL_NO_PATTERN,
+    UrlMiner,
+)
+
+FIXTURE_TEST_TXT = (
+    "4444222244442222\n"
+    "4444.2222.4444.2222\n"
+    "řřřř blah@seznam.com;+čččč\n"
+    "\n"
+    "a http://www.root.cz?limit=20 xxd\n"
+    "\n"
+)
+
+FIXTURE_REGEX_0 = "asds ad +919367788755 asdad\nadsadas test@gmail.com asds sdščččč---"
+
+
+def test_email_on_fixture():
+    occs = list(EmailMiner().find(FIXTURE_TEST_TXT))
+    assert [FIXTURE_TEST_TXT[o.ustart : o.uend] for o in occs] == ["blah@seznam.com"]
+    assert occs[0].label == "EMAIL"
+
+
+def test_url_on_fixture():
+    occs = list(UrlMiner().find(FIXTURE_TEST_TXT))
+    assert [FIXTURE_TEST_TXT[o.ustart : o.uend] for o in occs] == [
+        "http://www.root.cz?limit=20"
+    ]
+    assert occs[0].label == "URL"
+
+
+def test_dual_offsets_multibyte():
+    """occurrence_t keeps byte pos/len AND unicode upos/ulen (occurrence.h:23-26)."""
+    occ = next(iter(EmailMiner().find(FIXTURE_TEST_TXT)))
+    offsets = char_byte_offsets(FIXTURE_TEST_TXT)
+    bpos = int(offsets[occ.ustart])
+    blen = int(offsets[occ.uend] - offsets[occ.ustart])
+    assert bpos == FIXTURE_TEST_TXT.encode("utf-8").find(b"blah@seznam.com")
+    assert bpos == 46 and occ.ustart == 42  # 4×2-byte ř shift bytes ahead of chars
+    assert blen == len("blah@seznam.com")
+
+
+def test_regex_miner_fixture():
+    """tests/regex_miner.c:71-91 — exactly 2 occurrences on fixture_0."""
+    email = RegexMiner("EMAIL", r"[^@ \t\r\n]+@[^@ \t\r\n]+\.[^@ \t\r\n]+")
+    tel = RegexMiner("TEL_NO", TEL_NO_PATTERN)
+    occs = list(email.find(FIXTURE_REGEX_0)) + list(tel.find(FIXTURE_REGEX_0))
+    got = {(o.label, FIXTURE_REGEX_0[o.ustart : o.uend]) for o in occs}
+    assert got == {("EMAIL", "test@gmail.com"), ("TEL_NO", "+919367788755")}
+
+
+def test_email_greedy_rejections():
+    """naive_email_miner.c:66-115 — greedy domain scan, no backtracking."""
+    m = EmailMiner()
+    assert list(m.find("a@b.com.")) == []  # trailing dot → empty last subdomain
+    assert list(m.find("a@b.c")) == []  # last subdomain < 2 bytes
+    assert [o for o in m.find("a@b..com")]  # empty middle subdomain OK
+    assert list(m.find("a@@b.com")) == []  # no valid left at 2nd @
+
+
+def test_email_last_subdomain_bytes_rule():
+    """Subdomain length is measured in BYTES (:105-112): 'č' is 2 UTF-8 bytes."""
+    occs = list(EmailMiner().find("a@b.č x"))
+    assert len(occs) == 1
+
+
+def test_gazetteer_prefix_ratio():
+    """ner.c:29-34 — token matches iff prefix ratio >= 0.75."""
+    d = AliasDict.from_aliases(["prague", "bratislava"])
+    miner = GazetteerMiner(d, label="LOC")
+    # 'pragu' (5 chars) has 5-byte common prefix with 'prague'... token ratio:
+    # matched/len(token): 'pragu' → 5/5=1.0 ✓; 'praXX' → 3/5=0.6 ✗
+    occs = list(miner.find("pragu praXX prague bratislav"))
+    strs = ["pragu praXX prague bratislav"[o.ustart : o.uend] for o in occs]
+    assert strs == ["pragu", "prague", "bratislav"]  # 9/10=0.9 ≥ 0.75
+
+
+def test_gazetteer_token_is_nonspace_run():
+    """NER tokens are whitespace-delimited (not delimiter-delimited): a token
+    may contain punctuation (ner.c:26 uses not_isspace)."""
+    d = AliasDict.from_aliases(["root.cz"])
+    occs = list(GazetteerMiner(d).find("see root.cz now"))
+    assert len(occs) == 1 and occs[0].ustart == 4
+
+
+def test_alias_payload_lookup():
+    d = AliasDict.from_aliases(["acme", "acme corp"], [7, 7])
+    assert d.lookup(b"acme") == 7
+    assert d.lookup(b"missing") is None
+    assert d.longest_prefix([b"acme!!"])[0] == 4
