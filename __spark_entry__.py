@@ -1,38 +1,54 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship KG slice (documents → mention scan →
+sentence-window triples → weighted triple aggregation) at sf0.001.
+``queries()``/``oracle_sql()`` expose every implemented operator from
+SURVEY.md §2 plus the training-data ops; the registry lives in
+``nativeextractor_spark.queries``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: documents → miners → sentence-window triples → weights."""
+    from nativeextractor_spark.kg.triples import extract_triples, weight_triples
+    from nativeextractor_spark.miners import (
+        AliasDict,
+        EmailMiner,
+        GazetteerMiner,
+        UrlMiner,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    gaz = GazetteerMiner(
+        AliasDict.from_aliases(
+            ["spark", "window", "stream", "batch", "hash", "join", "scan",
+             "sort", "merge", "table"]
+        ),
+        label="NER",
+    )
+    pages = docs.select(F.col("doc_id").alias("url"), "text")
+    triples = extract_triples(pages, [gaz, EmailMiner(), UrlMiner()])
+    return weight_triples(triples)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from nativeextractor_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from nativeextractor_spark.queries import build_oracles
+
+    return build_oracles()

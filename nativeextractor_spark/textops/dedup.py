@@ -1,0 +1,199 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All hot paths are JVM-side DataFrame expressions (whole-stage codegen);
+the only Python is the vectorized SimHash kernel. Hash flavors used in the
+SQL-oracle-checkable operators are md5-based so DuckDB can reproduce them
+bit-for-bit; the scale flavor swaps in xxhash64 (cheaper) without changing
+the plan shape.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: keep the smallest id per sha256(text) group.
+
+    One shuffle on the digest; partial aggregation is map-side. Returns
+    (doc_id, text_hash, group_size).
+    """
+    h = F.sha2(F.col(text_col), 256).alias("text_hash")
+    return (
+        df.select(F.col(id_col).alias("doc_id"), h)
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count("*").alias("group_size"),
+        )
+        .select("doc_id", "text_hash", "group_size")
+    )
+
+
+def _shingle_expr(text_col: str, k: int):
+    """array of all k-char shingles of lower(text) — pure JVM expression."""
+    return F.expr(
+        f"transform(sequence(1, greatest(length(lower({text_col})) - {k - 1}, 1)),"
+        f" i -> substring(lower({text_col}), i, {k}))"
+    )
+
+
+def minhash_bands(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    k: int = 5,
+) -> DataFrame:
+    """MinHash signature rows (doc_id, band, min_hash), md5 flavor.
+
+    min_hash_i = min over shingles of md5(i || shingle) — deterministic and
+    reproducible in ANSI SQL (DuckDB oracle). One row per (doc, band):
+    banding with r=1 rows/band.
+    """
+    sh = _shingle_expr(text_col, k)
+    bands = F.array(*[F.lit(i) for i in range(num_hashes)])
+    return (
+        df.select(F.col(id_col).alias("doc_id"), sh.alias("shingles"))
+        .select("doc_id", F.explode(bands).alias("band"), "shingles")
+        .select(
+            "doc_id",
+            "band",
+            F.array_min(
+                F.transform(
+                    "shingles",
+                    lambda s: F.md5(F.concat(F.col("band").cast("string"), s)),
+                )
+            ).alias("min_hash"),
+        )
+    )
+
+
+def lsh_duplicate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    k: int = 5,
+    min_shared_bands: int = 2,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Near-duplicate candidate pairs: docs sharing ≥ min_shared_bands LSH
+    buckets. Oversized buckets are dropped (bounded skew). Returns
+    (doc_a, doc_b, shared_bands)."""
+    bands = minhash_bands(df, text_col, id_col, num_hashes, k)
+    sizes = bands.groupBy("band", "min_hash").agg(F.count("*").alias("_sz"))
+    bounded = bands.join(
+        sizes.where(F.col("_sz") <= max_bucket).drop("_sz"), ["band", "min_hash"]
+    )
+    a = bounded.select("band", "min_hash", F.col("doc_id").alias("doc_a"))
+    b = bounded.select("band", "min_hash", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, ["band", "min_hash"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared_bands"))
+        .where(F.col("shared_bands") >= min_shared_bands)
+    )
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash over whitespace tokens (vectorized NumPy kernel).
+
+    Token hash = blake2b-8byte (deterministic across processes); bit votes
+    accumulated per document. Returns (doc_id, simhash)."""
+    import hashlib
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, out = [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                tokens = (text or "").lower().split()
+                if not tokens:
+                    ids.append(did)
+                    out.append(0)
+                    continue
+                hs = np.fromiter(
+                    (
+                        int.from_bytes(
+                            hashlib.blake2b(t.encode(), digest_size=8).digest(), "big"
+                        )
+                        for t in set(tokens)
+                    ),
+                    dtype=np.uint64,
+                )
+                bit_matrix = (hs[:, None] >> np.arange(bits, dtype=np.uint64)) & 1
+                # int64: uint64 arithmetic would wrap negative vote tallies
+                votes = bit_matrix.sum(axis=0).astype(np.int64) * 2 - hs.size
+                sig = np.uint64(0)
+                for i in np.flatnonzero(votes > 0):
+                    sig |= np.uint64(1) << np.uint64(i)
+                ids.append(did)
+                out.append(int(np.int64(sig)))  # reinterpret as signed for Spark long
+            yield pd.DataFrame({"doc_id": ids, "simhash": out})
+
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).mapInPandas(kernel, schema="doc_id long, simhash long")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_token_freq: int = 1000,
+) -> DataFrame:
+    """Exact n-gram (word) Jaccard similarity pairs ≥ threshold.
+
+    Inverted-index join on distinct n-grams: |A∩B| via groupBy count, sizes
+    joined in, Jaccard = inter / (|A| + |B| - inter). N-grams appearing in
+    more than ``max_token_freq`` docs are stop-listed (skew bound).
+    Returns (doc_a, doc_b, jaccard).
+    """
+    grams = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, greatest(size(split(lower({text_col}), ' ')) - {n - 1}, 1)),"
+                        f" i -> array_join(slice(split(lower({text_col}), ' '), i, {n}), ' '))"
+                    )
+                )
+            ).alias("gram"),
+        )
+    )
+    freq = grams.groupBy("gram").agg(F.countDistinct("doc_id").alias("_df"))
+    grams = grams.join(
+        freq.where(F.col("_df") <= max_token_freq).drop("_df"), "gram"
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    a = grams.select(F.col("doc_id").alias("doc_a"), "gram")
+    b = grams.select(F.col("doc_id").alias("doc_b"), "gram")
+    inter = (
+        a.join(b, "gram")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )

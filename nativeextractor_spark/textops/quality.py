@@ -1,0 +1,113 @@
+"""Text analysis operators: language-ID, quality scoring, token counts,
+document fingerprinting. All JVM-side expressions (WSCG) except where noted —
+these run as full-corpus map passes at 100 TB, so no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny deterministic stopword profiles (n-gram heuristic, public knowledge)
+_LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "you", "that", "with"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "del", "las"],
+    "de": ["der", "die", "und", "das", "nicht", "mit", "ist", "ein", "zu"],
+    "fr": ["le", "la", "les", "des", "est", "une", "dans", "que", "pour"],
+    "cs": ["je", "se", "na", "to", "že", "by", "ale", "jako", "pro"],
+}
+
+
+def _tokens(text_col: str):
+    return F.split(F.lower(F.col(text_col)), r"\s+")
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-profile language ID. Returns (doc_id, lang_pred, lang_score).
+
+    Score per language = fraction of tokens in the language's stopword list;
+    argmax wins, ties broken by language code order. Pure SQL expressions —
+    oracle-reproducible.
+    """
+    toks = _tokens(text_col)
+    scores = []
+    for lang, words in sorted(_LANG_STOPWORDS.items()):
+        arr = F.array(*[F.lit(w) for w in words])
+        score = (
+            F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+            / F.greatest(F.size(toks), F.lit(1))
+        )
+        scores.append(F.struct(score.alias("s"), F.lit(lang).alias("l")))
+    best = F.array_max(F.array(*scores))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        best["l"].alias("lang_pred"),
+        F.round(best["s"], 6).alias("lang_score"),
+    )
+
+
+def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic document quality: length, punctuation ratio, stopword ratio,
+    mean word length, and a composite score. Pure SQL expressions."""
+    toks = _tokens(text_col)
+    n_chars = F.length(F.col(text_col))
+    n_punct = n_chars - F.length(
+        F.regexp_replace(F.col(text_col), r"[^\w\s]", "")
+    )
+    en = F.array(*[F.lit(w) for w in _LANG_STOPWORDS["en"]])
+    stop_ratio = F.size(F.filter(toks, lambda t: F.array_contains(en, t))) / F.greatest(
+        F.size(toks), F.lit(1)
+    )
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
+    mean_word_len = n_chars / F.greatest(F.size(toks), F.lit(1))
+    composite = (
+        F.least(n_chars / F.lit(500.0), F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - F.least(punct_ratio * 4, F.lit(1.0))) * 0.3
+        + F.least(stop_ratio * 5, F.lit(1.0)) * 0.3
+    )
+    # floor-based truncation to 6dp: identical on any engine computing the
+    # same doubles (round() half-up vs half-even differs across engines)
+    def t6(c):
+        return F.floor(c * 1000000) / 1000000
+
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        t6(punct_ratio).alias("punct_ratio"),
+        t6(stop_ratio).alias("stopword_ratio"),
+        t6(mean_word_len).alias("mean_word_len"),
+        t6(composite).alias("quality_score"),
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace tokens + BPE-ish subword piece count (regex split on
+    non-alnum boundaries — a cheap proxy for tokenizer budget planning)."""
+    ws = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    pieces = F.size(
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+            lambda t: F.length(t) > 0,
+        )
+    ) + F.size(
+        F.filter(
+            F.split(F.col(text_col), r"[a-zA-Z0-9\s]+"), lambda t: F.length(t) > 0
+        )
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        ws.alias("ws_tokens"),
+        pieces.alias("subword_pieces"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Document fingerprints: md5 of whitespace-normalized lowercased text
+    (oracle-reproducible) + xxhash64 (cheap 64-bit flavor for joins)."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(norm).alias("fp_md5"),
+        F.xxhash64(norm).alias("fp_xx64"),
+    )

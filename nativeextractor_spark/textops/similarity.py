@@ -1,0 +1,148 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exact baseline (JVM-side arithmetic via
+``aggregate``/``zip_with`` in DOUBLE for cross-engine determinism); the scale
+path buckets vectors with deterministic random-hyperplane LSH so each query
+only scans its bucket neighborhood.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_topk_bruteforce(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query vector.
+
+    queries: (query_id, embedding). Small query sets broadcast; the corpus is
+    scanned once (crossJoin + window top-k, AQE-coalesced). Returns
+    (query_id, vec_id, cosine, rank). Self-matches are not excluded.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        )
+    )
+    v = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
+    sim = (
+        v.crossJoin(q)
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("_v"), F.col("_qv"))
+                / (_norm(F.col("_v")) * _norm(F.col("_qv"))),
+                6,
+            ),
+        )
+        .drop("_v", "_qv")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def cosine_topk_lsh(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane sign buckets, candidates share a
+    bucket with the query, exact cosine re-rank inside the bucket.
+
+    At scale the bucket join replaces the full scan (2^n_planes buckets); the
+    hyperplane matrix is a broadcast literal. Recall is tunable via n_planes.
+    Returns (query_id, vec_id, cosine, rank).
+    """
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    def bucket_expr(col):
+        bits = []
+        for p in range(n_planes):
+            proj = F.aggregate(
+                F.zip_with(
+                    col,
+                    F.array(*[F.lit(float(x)) for x in planes[p]]),
+                    lambda x, y: x.cast("double") * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+        out = F.lit(0)
+        for b in bits:
+            out = out + b
+        return out
+
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_v"),
+        bucket_expr(F.col(vec_col)).alias("bucket"),
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            bucket_expr(F.col(vec_col)).alias("bucket"),
+        )
+    )
+    sim = (
+        v.join(q, "bucket")
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("_v"), F.col("_qv"))
+                / (_norm(F.col("_v")) * _norm(F.col("_qv"))),
+                6,
+            ),
+        )
+        .drop("_v", "_qv", "bucket")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )

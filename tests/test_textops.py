@@ -1,0 +1,155 @@
+"""Training-data ops: dedup, similarity, quality, multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from nativeextractor_spark.textops import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+    dedup_exact,
+    fingerprint,
+    language_id,
+    lsh_duplicate_pairs,
+    ngram_jaccard_pairs,
+    quality_scores,
+    simhash,
+    token_counts,
+)
+from nativeextractor_spark.textops.multimodal import (
+    DecoderUnavailable,
+    build_media_df,
+    extract_features,
+    sample_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat today"),  # near dup
+        (3, "completely different content with unique words here"),
+        (4, "el gato y el perro en la casa de los vecinos"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_exact(spark, docs):
+    out = dedup_exact(docs).collect()
+    groups = {r.doc_id: r.group_size for r in out}
+    assert groups[0] == 2  # docs 0 and 1 collapse, min id survives
+    assert 1 not in groups
+    assert groups[3] == 1
+
+
+def test_lsh_finds_exact_dups(spark, docs):
+    pairs = lsh_duplicate_pairs(docs, num_hashes=6, min_shared_bands=3).collect()
+    assert any((p.doc_a, p.doc_b) == (0, 1) for p in pairs)
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    by_pair = {(p.doc_a, p.doc_b): p.jaccard for p in pairs}
+    assert by_pair[(0, 1)] == 1.0
+    assert (0, 3) not in by_pair
+    near = by_pair.get((0, 2))
+    assert near is not None and 0.5 <= near < 1.0
+
+
+def test_simhash_deterministic_and_similar(spark):
+    # simhash needs enough tokens for the similarity property to be stable
+    base = " ".join(f"tok{i}" for i in range(60))
+    near = " ".join(f"tok{i}" for i in range(55)) + " a b c d e"
+    far = " ".join(f"other{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(0, base), (1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    a = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    b = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    assert a == b
+    assert a[0] == a[1]
+    ham_near = bin((a[0] ^ a[2]) & ((1 << 64) - 1)).count("1")
+    ham_far = bin((a[0] ^ a[3]) & ((1 << 64) - 1)).count("1")
+    assert ham_near < ham_far
+
+
+def test_cosine_topk_bruteforce(spark):
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+            (3, [-1.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    q = vecs.where("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = cosine_topk_bruteforce(vecs, q, k=3).orderBy("rank").collect()
+    assert [r.vec_id for r in got] == [0, 1, 2]
+    assert got[0].cosine == 1.0
+
+
+def test_cosine_lsh_recovers_identical_bucket(spark):
+    rng = np.random.RandomState(0)
+    base = rng.standard_normal(64).astype("float32")
+    rows = [(0, base.tolist()), (1, (base + 0.01).tolist())] + [
+        (i, rng.standard_normal(64).astype("float32").tolist()) for i in range(2, 30)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = vecs.where("vec_id = 0").select(F.col("vec_id").alias("query_id"), "embedding")
+    got = cosine_topk_lsh(vecs, q, k=2, n_planes=4, dim=64).orderBy("rank").collect()
+    assert [r.vec_id for r in got[:2]] == [0, 1]
+
+
+def test_language_id(spark, docs):
+    out = {r.doc_id: r.lang_pred for r in language_id(docs).collect()}
+    assert out[0] == "en"
+    assert out[4] == "es"
+
+
+def test_quality_scores(spark, docs):
+    out = {r.doc_id: r for r in quality_scores(docs).collect()}
+    assert out[0].n_tokens == 9
+    assert out[0].stopword_ratio > 0
+    assert 0 <= out[0].quality_score <= 1
+
+
+def test_token_counts_and_fingerprint(spark, docs):
+    tc = {r.doc_id: r for r in token_counts(docs).collect()}
+    assert tc[0].ws_tokens == 9
+    fp = {r.doc_id: r for r in fingerprint(docs).collect()}
+    assert fp[0].fp_md5 == fp[1].fp_md5
+    assert fp[0].fp_md5 != fp[3].fp_md5
+    assert fp[0].fp_xx64 == fp[1].fp_xx64
+
+
+def test_multimodal_features_plumbing(spark):
+    media = build_media_df(spark, n=12)
+    feats = extract_features(media, dim=8).collect()
+    assert len(feats) == 12
+    for r in feats:
+        assert len(r.feature) == 8 and r.n_bytes > 0
+    # deterministic across runs
+    again = extract_features(build_media_df(spark, n=12), dim=8).collect()
+    assert sorted(map(tuple, feats)) == sorted(map(tuple, again))
+
+
+def test_multimodal_real_decoder_gated(spark):
+    media = build_media_df(spark, n=3).where("kind = 'image'")
+    with pytest.raises(Exception) as exc_info:
+        extract_features(media, use_real_decoder=True).collect()
+    assert "DecoderUnavailable" in str(exc_info.value) or "decode" in str(
+        exc_info.value
+    )
+
+
+def test_sample_frames(spark):
+    media = build_media_df(spark, n=9)
+    frames = sample_frames(media, every_ms=1000, max_frames=3).collect()
+    vids = media.where("kind = 'video'").count()
+    assert len(frames) == vids * 3
+    assert all(f.ts_ms % 1000 == 0 for f in frames)

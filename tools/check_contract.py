@@ -1,0 +1,106 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry against its ``oracle_sql()`` DuckDB equivalent
+at a given sf dir and reports row-count / column / order-insensitive value
+matches. Usage::
+
+    python tools/check_contract.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def normalize(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, float):
+                v = round(v, 6)
+                if v == -0.0:
+                    v = 0.0
+                v = f"{v:.6f}"
+            vals.append(str(v))
+        out.append(tuple(vals))
+    return sorted(out), [cols[i] for i in order]
+
+
+def main():
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+    from nativeextractor_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark("contract-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            df = fn(spark, sf_dir)
+            spark_cols = df.columns
+            spark_rows = [tuple(r) for r in df.collect()]
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {e}")
+            continue
+        if name not in oracles:
+            print(f"rows-only  {name}: {len(spark_rows)} rows")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            ora_cols = [d[0] for d in res.description]
+            ora_rows = res.fetchall()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: oracle error: {e}")
+            continue
+        s_norm, s_cols = normalize(spark_rows, spark_cols)
+        o_norm, o_cols = normalize(ora_rows, ora_cols)
+        ok_cols = s_cols == o_cols
+        ok_count = len(s_norm) == len(o_norm)
+        ok_vals = s_norm == o_norm
+        status = "OK   " if (ok_cols and ok_count and ok_vals) else "FAIL "
+        if status.startswith("FAIL"):
+            failures.append(name)
+        print(
+            f"{status}{name}: rows {len(s_norm)}/{len(o_norm)}"
+            f" cols={'OK' if ok_cols else f'{s_cols} vs {o_cols}'}"
+            f" vals={'OK' if ok_vals else 'MISMATCH'}"
+        )
+        if not ok_vals and ok_cols:
+            s_only = [r for r in s_norm if r not in set(o_norm)][:3]
+            o_only = [r for r in o_norm if r not in set(s_norm)][:3]
+            if s_only:
+                print("   spark-only:", s_only)
+            if o_only:
+                print("   oracle-only:", o_only)
+    print(f"\n{len(failures)} failures: {failures}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
