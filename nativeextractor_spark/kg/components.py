@@ -68,19 +68,26 @@ def connected_components(
         .union(edges.select(F.col("v").alias("node")))
         .distinct()
     )
+    def _sig(df: DataFrame) -> tuple:
+        # one-job fixpoint signature: both sides are distinct edge sets, so
+        # (count, xor-of-hashes) equality is a reliable set-equality check
+        # (bit_xor cannot overflow under ANSI mode, unlike sum)
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).first()
+        return (row.n, row.h)
+
     cur = cur.localCheckpoint(eager=True)
+    cur_sig = _sig(cur)
     for _ in range(max_iterations):
         after_large = _large_star(cur)
         after_small = _small_star(after_large).localCheckpoint(eager=True)
-        # fixpoint: both sides are distinct sets → one anti-join emptiness
-        # probe each way (cheap: limit-1 scans, no full count)
-        if (
-            after_small.join(cur, ["u", "v"], "left_anti").isEmpty()
-            and cur.join(after_small, ["u", "v"], "left_anti").isEmpty()
-        ):
-            cur = after_small
-            break
+        new_sig = _sig(after_small)
         cur = after_small
+        if new_sig == cur_sig:
+            break
+        cur_sig = new_sig
     # star graph: every non-root points at its component root
     membership = cur.select(F.col("u").alias("node"), F.col("v").alias("component"))
     roots = singletons.join(

@@ -81,9 +81,16 @@ def run_pipeline(
             occurrences.where(F.col("label") == "NER"), alias_df
         ),
     )
+    # Only NER (name-like) surfaces get fuzzy canonicalization; EMAIL/URL/
+    # DATE/TEL mentions are already canonical identifiers — MinHash-merging
+    # them would be wrong, and they dominate distinct-surface counts.
     surfaces = (
-        triples.select(F.col("subj").alias("surface"))
-        .unionByName(triples.select(F.col("obj").alias("surface")))
+        triples.where(F.col("subj_type") == "NER")
+        .select(F.col("subj").alias("surface"))
+        .unionByName(
+            triples.where(F.col("obj_type") == "NER")
+            .select(F.col("obj").alias("surface"))
+        )
         .distinct()
     )
     canonical = stage(

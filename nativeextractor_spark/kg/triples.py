@@ -62,9 +62,15 @@ def document_triples(
     *,
     max_pairs_per_sentence: int = 16,
     max_pred_chars: int = 48,
+    cols: dict | None = None,
 ) -> list[tuple]:
-    """All triples of one document (deterministic; see module contract)."""
-    cols = scan_document(text, miners, no_enclosed=True, sort_results=True)
+    """All triples of one document (deterministic; see module contract).
+
+    ``cols`` lets callers pass pre-mined occurrence columns (the batched
+    kernel path); otherwise the document is scanned here.
+    """
+    if cols is None:
+        cols = scan_document(text, miners, no_enclosed=True, sort_results=True)
     n = len(cols["label"])
     if n < 2:
         return []
@@ -128,21 +134,36 @@ def extract_triples(
     miners = list(miners)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = [
+        from nativeextractor_spark.operators.extract import _postprocess_document
+
+        out_cols = [
             "subj", "subj_type", "pred", "obj", "obj_type",
             "url", "pos_s", "pos_o", "prob",
         ]
         for pdf in batches:
-            rows: list[tuple] = []
+            texts: list[str] = []
+            doc_keys: list = []
             for key, text in zip(pdf[key_col], pdf["text"]):
                 if isinstance(text, str) and text:
-                    rows.extend(
-                        document_triples(
-                            key, text, miners,
-                            max_pairs_per_sentence=max_pairs_per_sentence,
-                        )
+                    texts.append(text)
+                    doc_keys.append(key)
+            per_miner = [m.find_batch(texts) for m in miners]
+            rows: list[tuple] = []
+            for i, (key, text) in enumerate(zip(doc_keys, texts)):
+                cols = _postprocess_document(
+                    text,
+                    [o for occs in per_miner for o in occs[i]],
+                    no_enclosed=True,
+                    sort_results=True,
+                )
+                rows.extend(
+                    document_triples(
+                        key, text, miners,
+                        max_pairs_per_sentence=max_pairs_per_sentence,
+                        cols=cols,
                     )
-            yield pd.DataFrame(rows, columns=cols)
+                )
+            yield pd.DataFrame(rows, columns=out_cols)
 
     projected = pages_df.select(
         F.col(key_col).cast("string").alias(key_col), F.col(text_col).alias("text")

@@ -22,7 +22,16 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass
+from functools import lru_cache
 from typing import Iterable, Iterator
+
+
+@lru_cache(maxsize=512)
+def compile_cached(pattern: str) -> re.Pattern:
+    """Per-process compile cache: miners are deserialized per task, but the
+    compiled pattern is shared across tasks within a worker (reference X7,
+    compile-once/reuse — extractor.c:316-336)."""
+    return re.compile(pattern)
 
 
 @dataclass(frozen=True)
@@ -46,6 +55,11 @@ class Miner:
 
     def find(self, text: str) -> Iterator[Occurrence]:
         raise NotImplementedError
+
+    def find_batch(self, texts: list[str]) -> list[list[Occurrence]]:
+        """Batch hook: miners that can amortize work across an Arrow batch
+        (e.g. dictionary lookups) override this; default is per-doc find()."""
+        return [list(self.find(t)) for t in texts]
 
     def __repr__(self) -> str:  # pragma: no cover
         return f"{type(self).__name__}(label={self.label!r})"
@@ -75,7 +89,7 @@ class PatternMiner(Miner):
     @property
     def compiled(self) -> re.Pattern:
         if self._compiled is None:
-            self._compiled = re.compile(self.pattern)
+            self._compiled = compile_cached(self.pattern)
         return self._compiled
 
     def accept(self, m: re.Match) -> bool:

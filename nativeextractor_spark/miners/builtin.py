@@ -63,12 +63,14 @@ class EmailMiner(Miner):
     @property
     def compiled(self) -> re.Pattern:
         if self._compiled is None:
+            from nativeextractor_spark.miners.base import compile_cached
+
             a = _alnum()
             left = f"[{a}\\-._]"
             dom = f"[{a}\\-_]"
             # (?:[dom]*\.)+ = 1+ dots (>=2 subdomains, empty mid-subdomains OK);
             # trailing (?![dom.]) = the greedy domain scan stopped here
-            self._compiled = re.compile(
+            self._compiled = compile_cached(
                 f"{left}+@(?:{dom}*\\.)+(?P<last>{dom}+)(?!{dom}|\\.)"
             )
         return self._compiled

@@ -96,18 +96,39 @@ class GazetteerMiner(Miner):
     @property
     def token_re(self) -> re.Pattern:
         if self._token_re is None:
+            from nativeextractor_spark.miners.base import compile_cached
+
             # token = maximal non-space run (match_fn_plus(not_isspace), ner.c:26)
-            self._token_re = re.compile(f"[^{class_body('space')}]+")
+            self._token_re = compile_cached(f"[^{class_body('space')}]+")
         return self._token_re
 
     def find(self, text: str) -> Iterator[Occurrence]:
-        spans = [(m.start(), m.end()) for m in self.token_re.finditer(text)]
-        if not spans:
-            return
-        probes = [text[s:e].encode("utf-8") for s, e in spans]
+        yield from self.find_batch([text])[0]
+
+    def _token_matches(self, tokens: set[str]) -> set[str]:
+        """Which unique tokens satisfy the prefix-ratio rule (ner.c:29-34)."""
+        uniq = list(tokens)
+        if not uniq:
+            return set()
+        probes = [t.encode("utf-8") for t in uniq]
         matched = self.index.longest_prefix(probes)
-        lens = np.array([len(p) for p in probes], dtype=np.int64)
+        lens = np.fromiter((len(p) for p in probes), dtype=np.int64, count=len(probes))
         ok = matched.astype(np.float64) / lens >= NER_PREFIX_RATIO
-        for (s, e), good in zip(spans, ok):
-            if good:
-                yield Occurrence(s, e, self.label, 1.0)
+        return {t for t, good in zip(uniq, ok) if good}
+
+    def find_batch(self, texts: list[str]) -> list[list[Occurrence]]:
+        """Amortized batch path: one dictionary probe per *unique* token in
+        the batch (the trie D3 lookup is per-key, so dedup is free parity)."""
+        token_re = self.token_re
+        doc_spans = [
+            [(m.start(), m.end(), m.group()) for m in token_re.finditer(t)]
+            for t in texts
+        ]
+        uniq = {tok for spans in doc_spans for _, _, tok in spans}
+        hits = self._token_matches(uniq)
+        label, out = self.label, []
+        for spans in doc_spans:
+            out.append(
+                [Occurrence(s, e, label, 1.0) for s, e, tok in spans if tok in hits]
+            )
+        return out

@@ -90,16 +90,31 @@ def scan_document(
     Exact whole-document equivalent of the reference ``next()`` loop with
     E_SORT_RESULTS | E_NO_ENCLOSED_OCCURRENCES.
     """
+    per_miner = [m.find_batch([text])[0] for m in miners]
+    return _postprocess_document(
+        text,
+        [o for occs in per_miner for o in occs],
+        no_enclosed=no_enclosed,
+        sort_results=sort_results,
+    )
+
+
+def _postprocess_document(
+    text: str,
+    occs: list,
+    *,
+    no_enclosed: bool,
+    sort_results: bool,
+) -> dict[str, np.ndarray | list]:
     ustarts: list[int] = []
     uends: list[int] = []
     labels: list[str] = []
     probs: list[float] = []
-    for miner in miners:  # O1 union by construction
-        for occ in miner.find(text):
-            ustarts.append(occ.ustart)
-            uends.append(occ.uend)
-            labels.append(occ.label)
-            probs.append(occ.prob)
+    for occ in occs:  # O1 union by construction
+        ustarts.append(occ.ustart)
+        uends.append(occ.uend)
+        labels.append(occ.label)
+        probs.append(occ.prob)
 
     us = np.asarray(ustarts, dtype=np.int64)
     ue = np.asarray(uends, dtype=np.int64)
@@ -138,20 +153,43 @@ def _make_kernel(
 ):
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            frames = []
+            # batch-amortized mining (find_batch), then per-doc post-process;
+            # ONE output DataFrame per Arrow batch
+            keys: list = []
+            parts: list[dict] = []
+            texts: list[str] = []
+            doc_keys: list = []
             for key, text in zip(pdf[key_col], pdf["text"]):
-                if not isinstance(text, str) or not text:
-                    continue  # empty stream yields EOF immediately (stream.c:64-67)
-                cols = scan_document(
-                    text, miners, no_enclosed=no_enclosed, sort_results=sort_results
+                if isinstance(text, str) and text:
+                    texts.append(text)
+                    doc_keys.append(key)
+                # else: empty stream yields EOF immediately (stream.c:64-67)
+            per_miner = [m.find_batch(texts) for m in miners]
+            for i, (key, text) in enumerate(zip(doc_keys, texts)):
+                cols = _postprocess_document(
+                    text,
+                    [o for occs in per_miner for o in occs[i]],
+                    no_enclosed=no_enclosed,
+                    sort_results=sort_results,
                 )
-                if len(cols["label"]) == 0:
+                n = len(cols["label"])
+                if n == 0:
                     continue
-                frame = pd.DataFrame(cols)
-                frame.insert(0, key_col, key)
-                frames.append(frame)
-            if frames:
-                yield pd.concat(frames, ignore_index=True)
+                keys.extend([key] * n)
+                parts.append(cols)
+            if parts:
+                yield pd.DataFrame(
+                    {
+                        key_col: keys,
+                        "pos": np.concatenate([p["pos"] for p in parts]),
+                        "upos": np.concatenate([p["upos"] for p in parts]),
+                        "len": np.concatenate([p["len"] for p in parts]),
+                        "ulen": np.concatenate([p["ulen"] for p in parts]),
+                        "label": [l for p in parts for l in p["label"]],
+                        "prob": np.concatenate([p["prob"] for p in parts]),
+                        "str": [s for p in parts for s in p["str"]],
+                    }
+                )
             else:
                 yield pd.DataFrame(
                     {

@@ -265,6 +265,38 @@ O_FIXTURE_GLOB_COUNTS = "SELECT * FROM (VALUES " + ", ".join(
 ) + ") AS t(url, pattern, n_matches)"
 
 
+# run-to-stuck DFA engine outputs on fixture texts; the regex_fixture_0 rows
+# are the reference's own expectations (tests/regex_miner.c:71-91), the rest
+# follow from the same regexes under the reference's generated-DFA semantics
+_DFA_GOLDEN = [
+    ("fixture://test.txt", "EMAIL_DFA", "blah@seznam.com;+čččč"),
+    ("fixture://test.txt", "TEL_DFA", "444422224444"),
+    ("fixture://regex_fixture_0.txt", "EMAIL_DFA", "test@gmail.com"),
+    ("fixture://regex_fixture_0.txt", "TEL_DFA", "+919367788755"),
+    ("fixture://test_glob.txt", "EMAIL_DFA", "name@domain.com"),
+]
+
+
+def q_regex_dfa_fixture(spark, sf_dir):
+    from nativeextractor_spark.miners.regex_dfa import DfaMiner
+
+    urls = {u for u, _, _ in _DFA_GOLDEN}
+    pages = spark.createDataFrame(
+        [(u, FIXTURE_TEXTS[u]) for u in sorted(urls)], "url string, text string"
+    )
+    miners = [
+        DfaMiner("EMAIL_DFA", r"[^@ \t\r\n]+@[^@ \t\r\n]+\.[^@ \t\r\n]+"),
+        DfaMiner("TEL_DFA", r"[+]?[(]?[0-9]{3}[)]?[-\s.]?[0-9]{3}[-\s.]?[0-9]{4,6}"),
+    ]
+    occ = extract_occurrences(pages, miners, no_enclosed=False)
+    return occ.select("url", "label", "str")
+
+
+O_REGEX_DFA_FIXTURE = "SELECT * FROM (VALUES " + ", ".join(
+    f"({_sql_str(u)}, {_sql_str(l)}, {_sql_str(s)})" for u, l, s in _DFA_GOLDEN
+) + ") AS t(url, label, str)"
+
+
 def q_enclosed_filter(spark, sf_dir):
     occ = _occ_literals_df(spark)
     return filter_enclosed_df(occ).select("url", "pos", "len", "label")
@@ -751,6 +783,7 @@ QUERIES = {
     "ner_prefix_match": q_ner_prefix_match,
     "fixture_entities": q_fixture_entities,
     "fixture_glob_counts": q_fixture_glob_counts,
+    "regex_dfa_fixture": q_regex_dfa_fixture,
     "enclosed_filter": q_enclosed_filter,
     "sort_rank": q_sort_rank,
     "link_entities": q_link_entities,
@@ -782,6 +815,7 @@ def build_oracles() -> dict[str, str]:
         "ner_prefix_match": O_NER_PREFIX_MATCH,
         "fixture_entities": O_FIXTURE_ENTITIES,
         "fixture_glob_counts": O_FIXTURE_GLOB_COUNTS,
+        "regex_dfa_fixture": O_REGEX_DFA_FIXTURE,
         "enclosed_filter": O_ENCLOSED_FILTER,
         "sort_rank": O_SORT_RANK,
         "link_entities": O_LINK_ENTITIES,

@@ -1,0 +1,96 @@
+"""Regex→NFA→DFA compiler parity tests (reference R1-R5 + run-to-stuck)."""
+
+import pytest
+
+from nativeextractor_spark.miners.regex_dfa import (
+    DfaMiner,
+    RegexParseError,
+    compile_regex,
+)
+
+FIXTURE_REGEX_0 = "asds ad +919367788755 asdad\nadsadas test@gmail.com asds sdščččč---"
+
+
+def _matches(pattern, text):
+    m = DfaMiner("X", pattern)
+    return [text[o.ustart : o.uend] for o in m.find(text)]
+
+
+def test_reference_fixture_email_tel():
+    """tests/regex_miner.c:71-91 — the two reference regexes, exactly 2 hits."""
+    email = DfaMiner("EMAIL", r"[^@ \t\r\n]+@[^@ \t\r\n]+\.[^@ \t\r\n]+")
+    tel = DfaMiner("TEL_NO", r"[+]?[(]?[0-9]{3}[)]?[-\s.]?[0-9]{3}[-\s.]?[0-9]{4,6}")
+    occs = list(email.find(FIXTURE_REGEX_0)) + list(tel.find(FIXTURE_REGEX_0))
+    got = {(o.label, FIXTURE_REGEX_0[o.ustart : o.uend]) for o in occs}
+    assert ("EMAIL", "test@gmail.com") in got
+    assert ("TEL_NO", "+919367788755") in got
+
+
+def test_nfa_dfa_wikipedia_smoke():
+    """tests/finite_automaton.c:25-61 — powerset construction smoke."""
+    dfa = compile_regex("(a|b)*abb")
+    assert dfa.table.shape[0] >= 3
+    assert _matches("(a|b)*abb", "aababb xx") == ["aababb"]
+
+
+def test_run_to_stuck_semantics():
+    """The generated DFA runs to exhaustion with no backtracking to an
+    earlier final state (regex_generator.c:1156-1210): 'ab|abc.' on "abcX"
+    matches through the longer branch; greedy overrun past a final into a
+    dead end FAILS the whole candidate (unlike PCRE)."""
+    assert _matches("ab(c.)?", "abcX y") == ["abcX"]
+    # greedy overrun: a+ then 'ab' — DFA tracks both, still matches
+    assert _matches("a+ab", "aaab") == ["aaab"]
+    # stuck in non-final after overrun: a+ requires trailing b, input ends
+    # with a run of a's → no backtracking, no match
+    assert _matches("a+b", "aaa") == []
+
+
+def test_closures_and_ranges():
+    assert _matches("ab*", "a abb ab") == ["a", "abb", "ab"]
+    assert _matches("ab+", "a abb ab") == ["abb", "ab"]
+    assert _matches("ab?", "a abb ab") == ["a", "ab", "ab"]
+    assert _matches("a{2,3}", "a aa aaa aaaa") == ["aa", "aaa", "aaa"]
+    assert _matches("a{2}", "aa") == ["aa"]
+    assert _matches("a{2,}", "aaaaa") == ["aaaaa"]
+
+
+def test_char_classes_and_escapes():
+    assert _matches(r"[a-c]+", "abcd") == ["abc"]
+    assert _matches(r"[^a-c]+", "abXYc") == ["XY"]
+    assert _matches(r"\d+", "ab 123 cd") == ["123"]
+    assert _matches(r"\w+", "hi tam_1!") == ["hi", "tam_1"]
+    assert _matches(r"\s+", "a \t b") == [" \t "]
+    assert _matches(r"a.c", "a\nc abc") == ["abc"]  # '.' excludes newline
+
+
+def test_anchors():
+    assert _matches("^abc", "abc abc") == ["abc"]
+    assert _matches("abc$", "abc abc")[-1] == "abc"
+    assert len(_matches("abc$", "abc abc")) == 1
+
+
+def test_alternation():
+    assert _matches("cat|dog", "cat dog cow") == ["cat", "dog"]
+
+
+def test_unicode_multibyte():
+    assert _matches("č+", "aa ččč bb") == ["ččč"]
+
+
+def test_parse_errors():
+    with pytest.raises(RegexParseError):
+        compile_regex("(abc")
+    with pytest.raises(RegexParseError):
+        compile_regex("a{2")
+    with pytest.raises(RegexParseError):
+        compile_regex("[abc")
+
+
+def test_dfa_is_picklable():
+    """DFA tables are broadcast to executors → must pickle."""
+    import pickle
+
+    m = DfaMiner("T", r"[0-9]{3}")
+    m2 = pickle.loads(pickle.dumps(m))
+    assert [o.ustart for o in m2.find("ab 123")] == [3]

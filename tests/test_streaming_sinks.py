@@ -1,0 +1,73 @@
+"""Streaming miner front-end + ngrep-format sinks."""
+
+import json
+
+import pytest
+
+from nativeextractor_spark.miners import EmailMiner, GlobMiner
+from nativeextractor_spark.operators.extract import extract_occurrences
+from nativeextractor_spark.operators.sinks import format_occurrences
+from nativeextractor_spark.streaming import mine_stream, write_stream_merge
+
+
+@pytest.fixture(scope="module")
+def occ(spark):
+    pages = spark.createDataFrame(
+        [("u1", "mail a@b.com here"), ("u2", "abc")], "url string, text string"
+    )
+    return extract_occurrences(pages, [EmailMiner(), GlobMiner("abc")]).cache()
+
+
+def test_format_json(spark, occ):
+    rows = format_occurrences(occ, "json").collect()
+    parsed = [json.loads(r.line) for r in rows]
+    assert any(p["label"] == "EMAIL" and p["str"] == "a@b.com" for p in parsed)
+
+
+def test_format_plain_and_csv(spark, occ):
+    plain = [r.line for r in format_occurrences(occ, "plain").collect()]
+    assert any('"a@b.com" @ pos=5 len=7 [EMAIL]' == l for l in plain)
+    csv = [r.line for r in format_occurrences(occ, "csv").collect()]
+    assert any(l.startswith("u2,0,0,3,3,Glob") for l in csv)
+    with pytest.raises(ValueError):
+        format_occurrences(occ, "xml")
+
+
+def test_streaming_mine_and_merge(spark, tmp_path_factory):
+    src = str(tmp_path_factory.mktemp("stream_src"))
+    out = str(tmp_path_factory.mktemp("stream_out")) + "/occ"
+    ck = str(tmp_path_factory.mktemp("stream_ck"))
+
+    pages = spark.createDataFrame(
+        [("s1", "ping a@b.com"), ("s2", "abc abc")], "url string, text string"
+    )
+    pages.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema("url string, text string").parquet(src)
+    occ_stream = mine_stream(stream, [EmailMiner(), GlobMiner("abc")])
+    assert occ_stream.isStreaming
+    q = write_stream_merge(occ_stream, out, ck).start()
+    q.awaitTermination(120)
+
+    rows = {(r.url, r.label, r.str) for r in spark.read.parquet(out).collect()}
+    n_before = spark.read.parquet(out).count()
+    assert ("s1", "EMAIL", "a@b.com") in rows
+    assert ("s2", "Glob", "abc") in rows
+
+    # replaying the same data through a fresh stream must not duplicate
+    q2 = write_stream_merge(
+        mine_stream(
+            spark.readStream.schema("url string, text string").parquet(src),
+            [EmailMiner(), GlobMiner("abc")],
+        ),
+        out,
+        str(tmp_path_factory.mktemp("stream_ck2")),
+    ).start()
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == n_before
+
+
+def test_mine_stream_rejects_batch_df(spark):
+    pages = spark.createDataFrame([("u", "x")], "url string, text string")
+    with pytest.raises(ValueError):
+        mine_stream(pages, [EmailMiner()])

@@ -49,6 +49,17 @@ def test_lsh_finds_exact_dups(spark, docs):
     assert any((p.doc_a, p.doc_b) == (0, 1) for p in pairs)
 
 
+def test_lsh_xx64_flavor(spark, docs):
+    pairs = lsh_duplicate_pairs(
+        docs, num_hashes=6, min_shared_bands=3, hash_flavor="xx64"
+    ).collect()
+    assert any((p.doc_a, p.doc_b) == (0, 1) for p in pairs)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        lsh_duplicate_pairs(docs, hash_flavor="crc")
+
+
 def test_ngram_jaccard(spark, docs):
     pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
     by_pair = {(p.doc_a, p.doc_b): p.jaccard for p in pairs}
