@@ -66,6 +66,40 @@ def is_glob(glob: str) -> bool:
     return brackets == 0
 
 
+def _starts_with_delimiter(glob: str) -> bool:
+    """Can the glob's first element match a delimiter? (glob_entities.c:80-121
+    — note the reference scans the raw '[' char too, so every set-starting
+    glob reports True, '[' being punctuation.)"""
+    from nativeextractor_spark.functions.unicode import is_delimiter
+
+    if not glob:
+        return False
+    c = glob[0]
+    if c == "[":
+        i, escape = 0, False
+        while True:
+            if i >= len(glob):
+                return False
+            ch = glob[i]
+            if ch == "]" and not escape:
+                return False
+            if ch == "\\" and not escape:
+                escape = True
+                i += 1
+                continue
+            escape = False
+            if is_delimiter(ch):
+                return True
+            i += 1
+    if c in "*?":
+        return False
+    if c == "\\":
+        if len(glob) < 2:
+            return False
+        c = glob[1]
+    return is_delimiter(c)
+
+
 def _case_variants(ch: str) -> set[str]:
     """Chars the reference's match_character accepts for pattern char ``ch``.
 
@@ -139,10 +173,24 @@ def glob_to_regex(glob: str) -> str:
         if ch == "*":
             if i + 1 == n:
                 body.append(f"{nondelim}*")
+            elif _starts_with_delimiter(glob[i + 1 :]):
+                # rest "starts with a delimiter" (which, per the reference's
+                # '['-quirk, includes every [set]) → the recursive rest-match
+                # does NO delimiter skip; the scan still tries the current
+                # position then successive non-delimiter positions (the char
+                # at the star's own position is unconstrained)
+                body.append(f"(?:|[\\s\\S]{nondelim}*?(?={nondelim}))")
             else:
-                # zero consumption allowed anywhere; non-zero requires the
-                # rest to restart at a non-delimiter char (retnul at :190)
-                body.append(f"(?:|{nondelim}+?(?={nondelim}))")
+                # faithful mid-'*' semantics (glob_entities.c:161-191 + the
+                # recursive re-entry at :130-135): the rest is tried at the
+                # current position FIRST — where its entry skips an entire
+                # delimiter run and requires a following char (can_move) —
+                # then at successive positions whose chars are non-delim;
+                # note the char at the star's own position is unconstrained
+                # (the first move happens before the retnul delimiter check)
+                body.append(
+                    f"(?:[{d}]*(?={nondelim})|[\\s\\S]{nondelim}*?(?={nondelim}))"
+                )
             i += 1
         elif ch == "[":
             cls, i = _parse_set(glob, i + 1)
@@ -158,14 +206,46 @@ def glob_to_regex(glob: str) -> str:
             body.append(_class_of(_case_variants(ch), []))
             i += 1
     anchor = f"(?:\\A|(?<=[{d}]))"
+    if not _starts_with_delimiter(glob):
+        # the pre-match delimiter skip (glob_entities.c:130-135) runs BEFORE
+        # mark_start, so the span must begin on a non-delimiter char
+        anchor += f"(?={nondelim})"
     tail = f"(?:(?=[{d}])|\\Z)"
     return anchor + "".join(body) + tail
 
 
 class GlobMiner(PatternMiner):
     """Miner matching one glob pattern; label defaults to "Glob" like the
-    reference factory (glob_entities.c:311-317)."""
+    reference factory (glob_entities.c:311-317).
 
-    def __init__(self, glob: str, label: str = "Glob", prob: float = 1.0):
+    ``engine="exact"`` (default) runs the transcribed reference cursor
+    machine (:mod:`nativeextractor_spark.miners.glob_exact`) — bit-exact
+    including failure-advance scan guards. ``engine="regex"`` runs the
+    compiled translation above — the vectorized fast path, equivalent on
+    single-delimiter-class text (whitespace-separated tokens; property-tested)
+    and on all reference fixtures.
+    """
+
+    def __init__(
+        self,
+        glob: str,
+        label: str = "Glob",
+        prob: float = 1.0,
+        engine: str = "exact",
+    ):
         super().__init__(label, glob_to_regex(glob), prob)
         self.glob = glob
+        if engine not in ("exact", "regex"):
+            raise ValueError(f"unknown engine {engine!r}")
+        self.engine = engine
+
+    def find(self, text: str):
+        if self.engine == "regex":
+            yield from super().find(text)
+            return
+        from nativeextractor_spark.miners.glob_exact import reference_glob_scan
+
+        from nativeextractor_spark.miners.base import Occurrence
+
+        for s, e in reference_glob_scan(text, self.glob):
+            yield Occurrence(s, e, self.label, self.prob)

@@ -1,0 +1,267 @@
+"""Exact glob engine: literal transcription of the reference scan machine.
+
+Transcribed from ``match_glob_impl`` (/root/reference/src/miners/
+glob_entities.c:124-260) plus the extractor scan loop (extractor.c:36-100,
+miner.c:25-51) over a char-indexed string cursor.
+
+This is the DEFAULT GlobMiner engine. It reproduces every cursor-level
+behavior, including the failure-advance rule the glob→regex translation
+cannot express: a failed attempt leaves the cursor after its final ``retnul``
+delimiter skip, and the extractor's position guard (``pos >=
+max(pos_last, end_last)``, extractor.c:59) then blocks scan candidates the
+failed attempt already consumed — with multiple delimiter classes a failed
+multi-star attempt can swallow several would-be token starts (e.g. glob
+``a*b`` finds nothing in ``"a.a.b"`` even though ``"a.b"`` is present).
+The regex translation in ``glob.py`` is the vectorized fast path; the two
+agree on any single-delimiter-class regime (whitespace-separated tokens —
+property-tested) and on every reference test fixture.
+"""
+
+from __future__ import annotations
+
+from nativeextractor_spark.functions.unicode import is_delimiter
+
+
+class _Cursor:
+    """stream cursor over text, char-indexed; tracks mark state like miner_c."""
+
+    def __init__(self, text: str, pos: int, end_last: int):
+        self.text = text
+        self.pos = pos
+        self.start: int | None = None
+        self.end: int | None = None
+        self.end_last = end_last
+
+    # miner_c_can_move
+    def can_move(self, d: int) -> bool:
+        if d > 0:
+            return self.pos < len(self.text)
+        if d < 0:
+            return self.pos > 0
+        return True
+
+    def move(self, d: int) -> bool:
+        self.pos += d
+        return True
+
+    # miner_c_match_delimiter: match_fn(is_delimiter, move)
+    def match_delimiter(self, move: int) -> bool:
+        if not self.can_move(move):
+            return False
+        ch = self.text[self.pos]
+        if not is_delimiter(ch):
+            return False
+        self.move(move)
+        return True
+
+    # glob_entities.c match_character: tolower then toupper
+    def match_character(self, c: str) -> bool:
+        if not self.can_move(1):
+            return False
+        cur = self.text[self.pos]
+        for v in (c.lower(), c.upper()):
+            if len(v) == 1 and cur == v:
+                self.move(1)
+                return True
+        return False
+
+    def mark_start(self) -> bool:
+        if self.pos < self.end_last:
+            return False
+        self.start = self.pos
+        return True
+
+    def mark_end(self) -> bool:
+        if self.pos < self.end_last:
+            return False
+        self.end = self.pos
+        return True
+
+    def make_occurrence(self):
+        if self.start is None or self.end is None:
+            return None
+        if self.start == self.end or self.start > self.end:
+            return None
+        self.end_last = self.end
+        return (self.start, self.end)
+
+
+def _starts_with_delimiter(glob: str) -> bool:
+    i = 0
+    c = glob[0] if glob else ""
+    if c == "[":
+        escape = False
+        while True:
+            if i >= len(glob):
+                return False
+            ch = glob[i]
+            if ch == "]" and not escape:
+                return False
+            if ch == "\\" and not escape:
+                escape = True
+                i += 1
+                continue
+            escape = False
+            if is_delimiter(ch):
+                return True
+            i += 1
+    if c in "*?":
+        return False
+    if c == "\\":
+        i += 1
+        c = glob[i] if i < len(glob) else ""
+    return bool(c) and is_delimiter(c)
+
+
+def _retnul(m: _Cursor) -> None:
+    """skip to next delimiter then return NULL (glob_entities.c:29-37)."""
+    while m.can_move(1) and not m.match_delimiter(1):
+        m.move(1)
+
+
+def _match_any_character(m: _Cursor) -> bool:
+    ok = m.can_move(1) and not (
+        m.can_move(0) and is_delimiter(m.text[m.pos]) if m.pos < len(m.text) else False
+    )
+    # reference: can_move(Right) && !match_delimiter(Stay)
+    ok = m.can_move(1) and not is_delimiter(m.text[m.pos])
+    if ok:
+        m.move(1)
+    return ok
+
+
+def _match_range(m: _Cursor, frm: str, to: str) -> bool:
+    for cp in range(ord(frm), ord(to) + 1):
+        if m.match_character(chr(cp)):
+            return True
+    return False
+
+
+def match_glob_impl(m: _Cursor, glob: str):
+    """Transcription of match_glob_impl; returns (start,end) or None."""
+    gi = 0
+    n = len(glob)
+    started = False
+
+    if not _starts_with_delimiter(glob):
+        while m.can_move(1) and m.match_delimiter(1):
+            pass
+
+    if not m.can_move(1):
+        _retnul(m)
+        return None
+
+    startpos = None
+
+    while gi < n:
+        if not started:
+            started = True
+            m.mark_start()
+            startpos = m.pos
+
+        ch = glob[gi]
+        consumed = 1
+
+        if ch == "*":
+            if gi + 1 == n:
+                while m.can_move(1) and not is_delimiter(m.text[m.pos]):
+                    m.move(1)
+                gi += 1
+                continue
+            save_end_last = m.end_last
+            rest = glob[gi + 1 :]
+            while True:
+                pos_save = m.pos
+                rec = match_glob_impl(m, rest)
+                m.end_last = save_end_last
+                if rec is not None:
+                    t = m.pos
+                    m.pos = startpos
+                    m.mark_start()
+                    m.pos = t
+                    # rec's mark_end already set m.end
+                    return m.make_occurrence()
+                m.pos = pos_save
+                if not m.can_move(1):
+                    return None
+                m.move(1)
+                if m.pos < len(m.text) and is_delimiter(m.text[m.pos]):
+                    _retnul(m)
+                    return None
+
+        elif ch == "[":
+            gi += 1  # past '['
+            found = False
+            last: str | None = None
+            while True:
+                c = glob[gi]
+                if not found:
+                    if last == "\\":
+                        if m.match_character(c):
+                            found = True
+                    elif c == "-" and last is not None:
+                        frm = last
+                        to = glob[gi + 1]
+                        if _match_range(m, frm, to):
+                            found = True
+                        gi += 1  # throw away dash; now at range end char
+                        c = glob[gi]
+                    else:
+                        if m.match_character(c):
+                            found = True
+                last = c
+                gi += 1
+                if gi < n and glob[gi] == "]" and last != "\\":
+                    break
+            gi += 1  # right bracket
+            if not found:
+                _retnul(m)
+                return None
+            continue
+
+        elif ch == "\\":
+            target = glob[gi + 1] if gi + 1 < n else ""
+            if not m.match_character(target):
+                _retnul(m)
+                return None
+            gi += 2
+            continue
+
+        elif ch == "?":
+            if not _match_any_character(m):
+                _retnul(m)
+                return None
+
+        else:
+            if not m.match_character(ch):
+                _retnul(m)
+                return None
+
+        gi += consumed
+
+    m.mark_end()
+    # token must end here: match_delimiter(Right) or !can_move(Right)
+    if not m.match_delimiter(1) and m.can_move(1):
+        _retnul(m)
+        return None
+    return m.make_occurrence()
+
+
+def reference_glob_scan(text: str, glob: str) -> list[tuple[int, int]]:
+    """Full extractor scan loop (whole document, one miner)."""
+    out: list[tuple[int, int]] = []
+    n = len(text)
+    pos = 0
+    guard = 0  # max(pos_last, end_last)
+    end_last = 0
+    while pos < n:
+        if pos >= guard:
+            m = _Cursor(text, pos, end_last)
+            occ = match_glob_impl(m, glob)
+            if occ is not None:
+                out.append(occ)
+                end_last = occ[1]
+            # miner_c_run: pos_last = max(end, stream->pos)
+            guard = max(m.end if m.end is not None else 0, m.pos, end_last)
+        pos += 1
+    return out

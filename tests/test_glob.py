@@ -79,3 +79,9 @@ def test_is_glob_validator():
     assert not is_glob("[abc")
     assert not is_glob("abc]def[")
     assert not is_glob("[a--f]")
+
+
+@pytest.mark.parametrize("text,glob,expected", CASES)
+def test_golden_counts_regex_engine(text, glob, expected):
+    """The vectorized regex engine passes every reference fixture too."""
+    assert len(list(GlobMiner(glob, engine="regex").find(text))) == expected

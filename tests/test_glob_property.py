@@ -1,0 +1,103 @@
+"""Property tests for the two glob engines.
+
+The exact engine (miners/glob_exact.py, the default) is a literal
+transcription of the reference scan machine, including the failure-advance
+guard: a failed attempt's cursor movement and leaked end-mark block later
+scan candidates (extractor.c:59 + miner.c:25-33). finditer-style regex
+scanning cannot express that, so the regex fast path is exactly equivalent
+only where the guard cannot overshoot a candidate:
+
+A. star-free, delimiter-free globs over ANY text — a failed attempt skips
+   precisely to the next token start (= the next regex anchor), and
+   star-free attempts never leak an end-mark;
+B. ANY glob over delimiter-free text — there is a single scan candidate.
+
+Both are property-tested span-exactly below; every reference fixture passes
+under both engines (tests/test_glob.py); the divergence class is pinned by a
+regression test here.
+"""
+
+from hypothesis import given, settings, strategies as st
+
+from nativeextractor_spark.miners import GlobMiner, is_glob
+
+_LIT = "abcxyZ"
+
+
+@st.composite
+def starfree_globs(draw):
+    n = draw(st.integers(1, 5))
+    parts = []
+    for _ in range(n):
+        kind = draw(st.sampled_from(["lit", "lit", "q", "set", "esc"]))
+        if kind == "lit":
+            parts.append(draw(st.sampled_from(_LIT)))
+        elif kind == "q":
+            parts.append("?")
+        elif kind == "esc":
+            parts.append("\\" + draw(st.sampled_from("abcx")))
+        else:
+            m = draw(st.integers(1, 3))
+            inner = []
+            for _ in range(m):
+                t = draw(st.sampled_from(["c", "c", "range"]))
+                if t == "c":
+                    inner.append(draw(st.sampled_from("abcx")))
+                else:
+                    lo = draw(st.sampled_from("abx"))
+                    hi = chr(ord(lo) + draw(st.integers(1, 3)))
+                    inner.append(f"{lo}-{hi}")
+            parts.append("[" + "".join(inner) + "]")
+    return "".join(parts)
+
+
+@st.composite
+def any_globs(draw):
+    base = draw(starfree_globs())
+    stars = draw(st.integers(0, 2))
+    out = base
+    for _ in range(stars):
+        k = draw(st.integers(0, len(out)))
+        out = out[:k] + "*" + out[k:]
+    return out
+
+
+def _spans(miner, text):
+    return [(o.ustart, o.uend) for o in miner.find(text)]
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    text=st.text(alphabet="abcABC .x-", min_size=0, max_size=40),
+    glob=starfree_globs(),
+)
+def test_starfree_globs_engines_agree_on_any_text(text, glob):
+    if not is_glob(glob):
+        return
+    exact = _spans(GlobMiner(glob, engine="exact"), text)
+    fast = _spans(GlobMiner(glob, engine="regex"), text)
+    assert fast == exact, f"text={text!r} glob={glob!r}"
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    text=st.text(alphabet="abcABCxZ", min_size=0, max_size=25),
+    glob=any_globs(),
+)
+def test_any_glob_engines_agree_on_delimiter_free_text(text, glob):
+    if not is_glob(glob):
+        return
+    exact = _spans(GlobMiner(glob, engine="exact"), text)
+    fast = _spans(GlobMiner(glob, engine="regex"), text)
+    assert fast == exact, f"text={text!r} glob={glob!r}"
+
+
+def test_guard_divergence_class_documented():
+    """Failed attempts advance the reference guard past later candidates;
+    the regex path intentionally approximates token-aligned scanning."""
+    # multi-delimiter consumption by a failed star attempt
+    assert _spans(GlobMiner("a*b", engine="exact"), "a.a.b") == []
+    assert _spans(GlobMiner("a*b", engine="regex"), "a.a.b") == [(2, 5)]
+    # leaked end-mark from a failed recursive rest-match
+    assert _spans(GlobMiner("a*?", engine="exact"), "a  aa") == []
+    assert _spans(GlobMiner("a*?", engine="regex"), "a  aa") == [(3, 5)]
