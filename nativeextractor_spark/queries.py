@@ -763,6 +763,116 @@ SELECT user_id, event_id, round(value, 6) AS value, rank FROM (
 """
 
 
+def q_rollup_orders(spark, sf_dir):
+    """GROUPING SETS / ROLLUP coverage (§2.7): order totals by status with
+    subtotals. Decimal-cast sums for cross-engine determinism."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+O_ROLLUP_ORDERS = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n_orders,
+       round(cast(sum(cast(o_totalprice AS decimal(18,2))) AS double), 2)
+         AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_anti_join_new_nodes(spark, sf_dir):
+    """Semi/anti-join coverage (§2.7): the incremental-MERGE discovery step —
+    customers with no orders (the "not matched" side of MERGE INTO)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    new = cust.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")).distinct(),
+        "c_custkey",
+        "left_anti",
+    )
+    existing = cust.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")).distinct(),
+        "c_custkey",
+        "left_semi",
+    )
+    return spark.createDataFrame(
+        [], "kind string, n long"
+    ).unionByName(
+        new.agg(F.lit("new").alias("kind"), F.count("*").alias("n"))
+    ).unionByName(
+        existing.agg(F.lit("existing").alias("kind"), F.count("*").alias("n"))
+    )
+
+
+O_ANTI_JOIN_NEW_NODES = """
+SELECT 'new' AS kind, count(*) AS n FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+UNION ALL
+SELECT 'existing' AS kind, count(*) AS n FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+"""
+
+
+def q_event_sessions(spark, sf_dir):
+    """Sessionization coverage (§2.7 streaming/window analogue): gap-based
+    sessions (30 min) per user over the events table; deterministic counts."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("user_id") < 100
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.lag(F.unix_timestamp("ts")).over(w)
+    sess = (
+        ev.withColumn("_new", (gap.isNull() | (gap > 1800)).cast("int"))
+        .withColumn("session_id", F.sum("_new").over(w))
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min(F.unix_timestamp("ts")).alias("session_start"),
+    )
+
+
+O_EVENT_SESSIONS = """
+WITH e AS (SELECT user_id, event_id, ts,
+                  cast(floor(epoch(ts)) AS bigint) AS tsl
+           FROM events WHERE user_id < 100),
+g AS (
+  SELECT user_id, event_id, ts, tsl,
+         CASE WHEN tsl - lag(tsl) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) > 1800
+                   OR lag(tsl) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM e
+),
+s AS (
+  SELECT user_id, ts, event_id, tsl,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(tsl) AS session_start
+FROM s GROUP BY user_id, session_id
+"""
+
+
 def q_multimodal_features(spark, sf_dir):
     from nativeextractor_spark.textops.multimodal import (
         build_media_df,
@@ -804,6 +914,9 @@ QUERIES = {
     "tpch_q1": q_tpch_q1,
     "tpch_q3_topk": q_tpch_q3_topk,
     "events_window": q_events_window,
+    "rollup_orders": q_rollup_orders,
+    "anti_join_new_nodes": q_anti_join_new_nodes,
+    "event_sessions": q_event_sessions,
     "multimodal_features": q_multimodal_features,
 }
 
@@ -834,5 +947,8 @@ def build_oracles() -> dict[str, str]:
         "tpch_q1": O_TPCH_Q1,
         "tpch_q3_topk": O_TPCH_Q3_TOPK,
         "events_window": O_EVENTS_WINDOW,
+        "rollup_orders": O_ROLLUP_ORDERS,
+        "anti_join_new_nodes": O_ANTI_JOIN_NEW_NODES,
+        "event_sessions": O_EVENT_SESSIONS,
         # simhash / ann_lsh / multimodal_features: rows-only (non-SQL ops)
     }
