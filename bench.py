@@ -136,7 +136,9 @@ def _headline(spark, sf: float) -> dict[str, float]:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     timed("occurrences", lambda: extract_occurrences(pages, miners).count())
-    triples = extract_triples(pages, miners)
+    # persist: downstream stages consume triples without re-mining (a real
+    # pipeline materializes this stage — see StageCheckpoint)
+    triples = extract_triples(pages, miners).persist()
     timed("triples", lambda: triples.count())
     timed("triple_weights", lambda: weight_triples(triples).count())
     surfaces = (

@@ -162,7 +162,12 @@ def canonicalize_surfaces(
         F.col("jac") >= jaccard_threshold
     )
 
-    edges = verified.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    # checkpoint: the LSH lineage (signatures → band join → jaccard) is
+    # consumed by the emptiness probe, every CC round's seed, and the final
+    # membership join — without truncation it would re-execute each time
+    edges = verified.select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v")
+    ).localCheckpoint(eager=True)
     if edges.isEmpty():
         return norm.withColumn("canonical_id", F.col("surface_id"))
     comps = connected_components(edges)

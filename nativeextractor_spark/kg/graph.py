@@ -25,16 +25,6 @@ from pyspark.sql import functions as F
 N_BUCKETS = 256
 
 
-def _iceberg_available(spark: SparkSession) -> bool:
-    try:
-        return (
-            spark.conf.get("spark.sql.catalog.spark_catalog", "") != ""
-            and "iceberg" in spark.conf.get("spark.sql.catalog.spark_catalog", "")
-        )
-    except Exception:
-        return False
-
-
 def merge_into(
     df: DataFrame,
     path: str,

@@ -8,6 +8,7 @@ from nativeextractor_spark.operators.relational import (
     filter_enclosed_df,
     sort_occurrences_df,
 )
+from nativeextractor_spark.operators.sinks import format_occurrences
 
 __all__ = [
     "OCCURRENCE_SCHEMA",
@@ -16,4 +17,5 @@ __all__ = [
     "enclosed_keep_mask",
     "filter_enclosed_df",
     "sort_occurrences_df",
+    "format_occurrences",
 ]
