@@ -297,6 +297,32 @@ O_REGEX_DFA_FIXTURE = "SELECT * FROM (VALUES " + ", ".join(
 ) + ") AS t(url, label, str)"
 
 
+_DATE_PAGES = [
+    ("d1", "meeting on 2024-01-15 and again 3/4/99 ok"),
+    ("d2", "born March 5, 2024 maybe Mar. 31st, 1999 end"),
+    ("d3", "versions 1.2.3 and 12345-67-89 are not dates"),
+]
+# hand-verified DATE miner outputs: ISO, slashed, month-name (with ordinal
+# suffix and abbreviation dot); d3 is all negatives (digit-boundary guards)
+_DATE_GOLDEN = [
+    ("d1", "DATE", "2024-01-15"),
+    ("d1", "DATE", "3/4/99"),
+    ("d2", "DATE", "March 5, 2024"),
+    ("d2", "DATE", "Mar. 31st, 1999"),
+]
+
+
+def q_date_fixture(spark, sf_dir):
+    pages = spark.createDataFrame(_DATE_PAGES, "url string, text string")
+    occ = extract_occurrences(pages, [DateMiner()], no_enclosed=False)
+    return occ.select("url", "label", "str")
+
+
+O_DATE_FIXTURE = "SELECT * FROM (VALUES " + ", ".join(
+    f"({_sql_str(u)}, {_sql_str(l)}, {_sql_str(s)})" for u, l, s in _DATE_GOLDEN
+) + ") AS t(url, label, str)"
+
+
 def q_enclosed_filter(spark, sf_dir):
     occ = _occ_literals_df(spark)
     return filter_enclosed_df(occ).select("url", "pos", "len", "label")
@@ -894,6 +920,7 @@ QUERIES = {
     "fixture_entities": q_fixture_entities,
     "fixture_glob_counts": q_fixture_glob_counts,
     "regex_dfa_fixture": q_regex_dfa_fixture,
+    "date_fixture": q_date_fixture,
     "enclosed_filter": q_enclosed_filter,
     "sort_rank": q_sort_rank,
     "link_entities": q_link_entities,
@@ -929,6 +956,7 @@ def build_oracles() -> dict[str, str]:
         "fixture_entities": O_FIXTURE_ENTITIES,
         "fixture_glob_counts": O_FIXTURE_GLOB_COUNTS,
         "regex_dfa_fixture": O_REGEX_DFA_FIXTURE,
+        "date_fixture": O_DATE_FIXTURE,
         "enclosed_filter": O_ENCLOSED_FILTER,
         "sort_rank": O_SORT_RANK,
         "link_entities": O_LINK_ENTITIES,
