@@ -140,6 +140,40 @@ class TelephoneMiner(RegexMiner):
         super().__init__(label, TEL_NO_PATTERN)
 
 
+_ORG_SUFFIXES = (
+    "Inc|Corp|Corporation|Ltd|LLC|GmbH|Co|Company|Industries|Labs|Systems|"
+    "Group|Works|AG|SA|PLC"
+)
+
+
+class PersonNameMiner(PatternMiner):
+    """Heuristic PER miner: 2-3 capitalized words (optional middle initial),
+    excluding org-suffix words. Complements the gazetteer — the reference's
+    person miner ships in the non-free plugin (M5), so this is a
+    public-pattern reimplementation. Known limitation of any title-case
+    heuristic: a capitalized sentence-initial word followed by a name reads
+    as a name ("Ask Bob" → PER); precision-critical pipelines should prefer
+    the gazetteer and use this as a recall supplement."""
+
+    def __init__(self, label: str = "PER"):
+        w = rf"(?!(?:{_ORG_SUFFIXES})\b)[A-Z][a-z]{{1,20}}"
+        super().__init__(
+            label,
+            rf"\b{w}(?: [A-Z]\.)? {w}(?: {w})?\b(?! (?:{_ORG_SUFFIXES})\b)",
+        )
+
+
+class OrgNameMiner(PatternMiner):
+    """Heuristic ORG miner: capitalized word run ending in a legal/org suffix."""
+
+    def __init__(self, label: str = "ORG"):
+        word = r"[A-Z][A-Za-z0-9&\-]{1,24}"
+        super().__init__(
+            label,
+            rf"\b(?:{word} )+(?:{_ORG_SUFFIXES})\b",
+        )
+
+
 def default_miners() -> list[Miner]:
     """The standard miner set for the KG pipeline."""
     return [EmailMiner(), UrlMiner(), DateMiner(), TelephoneMiner()]

@@ -318,6 +318,36 @@ def q_date_fixture(spark, sf_dir):
     return occ.select("url", "label", "str")
 
 
+_PERSON_ORG_PAGES = [
+    ("p1", "Alice Johnson met Bob T. Stone at Acme Widget Corp yesterday."),
+    ("p2", "Report by Maria Garcia Lopez for Globex Industries."),
+    ("p3", "lowercase john smith and SHOUTING MARY JONES never match"),
+]
+_PERSON_ORG_GOLDEN = [
+    ("p1", "PER", "Alice Johnson"),
+    ("p1", "PER", "Bob T. Stone"),
+    ("p1", "ORG", "Acme Widget Corp"),
+    ("p2", "PER", "Maria Garcia Lopez"),
+    ("p2", "ORG", "Globex Industries"),
+]
+
+
+def q_person_org_fixture(spark, sf_dir):
+    from nativeextractor_spark.miners.builtin import OrgNameMiner, PersonNameMiner
+
+    pages = spark.createDataFrame(_PERSON_ORG_PAGES, "url string, text string")
+    occ = extract_occurrences(
+        pages, [PersonNameMiner(), OrgNameMiner()], no_enclosed=False
+    )
+    return occ.select("url", "label", "str")
+
+
+O_PERSON_ORG_FIXTURE = "SELECT * FROM (VALUES " + ", ".join(
+    f"({_sql_str(u)}, {_sql_str(l)}, {_sql_str(s)})"
+    for u, l, s in _PERSON_ORG_GOLDEN
+) + ") AS t(url, label, str)"
+
+
 O_DATE_FIXTURE = "SELECT * FROM (VALUES " + ", ".join(
     f"({_sql_str(u)}, {_sql_str(l)}, {_sql_str(s)})" for u, l, s in _DATE_GOLDEN
 ) + ") AS t(url, label, str)"
@@ -921,6 +951,7 @@ QUERIES = {
     "fixture_glob_counts": q_fixture_glob_counts,
     "regex_dfa_fixture": q_regex_dfa_fixture,
     "date_fixture": q_date_fixture,
+    "person_org_fixture": q_person_org_fixture,
     "enclosed_filter": q_enclosed_filter,
     "sort_rank": q_sort_rank,
     "link_entities": q_link_entities,
@@ -957,6 +988,7 @@ def build_oracles() -> dict[str, str]:
         "fixture_glob_counts": O_FIXTURE_GLOB_COUNTS,
         "regex_dfa_fixture": O_REGEX_DFA_FIXTURE,
         "date_fixture": O_DATE_FIXTURE,
+        "person_org_fixture": O_PERSON_ORG_FIXTURE,
         "enclosed_filter": O_ENCLOSED_FILTER,
         "sort_rank": O_SORT_RANK,
         "link_entities": O_LINK_ENTITIES,

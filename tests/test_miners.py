@@ -97,3 +97,17 @@ def test_alias_payload_lookup():
     assert d.lookup(b"acme") == 7
     assert d.lookup(b"missing") is None
     assert d.longest_prefix([b"acme!!"])[0] == 4
+
+
+def test_person_org_heuristic_miners():
+    """M5 heuristic person/org miners (reference ships these in a non-free
+    plugin; public-pattern reimplementation)."""
+    from nativeextractor_spark.miners.builtin import OrgNameMiner, PersonNameMiner
+
+    t = "Alice Johnson met Bob T. Stone at Acme Widget Corp near Globex Industries."
+    per = [t[o.ustart : o.uend] for o in PersonNameMiner().find(t)]
+    org = [t[o.ustart : o.uend] for o in OrgNameMiner().find(t)]
+    assert per == ["Alice Johnson", "Bob T. Stone"]
+    assert org == ["Acme Widget Corp", "Globex Industries"]
+    # lowercase / shouting text doesn't trigger
+    assert list(PersonNameMiner().find("john smith AND MARY JONES")) == []
