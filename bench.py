@@ -156,7 +156,9 @@ def _headline(spark, sf: float) -> dict[str, float]:
         lambda: lsh_duplicate_pairs(
             pages.select(F.col("url").alias("doc_id"), "text"),
             num_hashes=4,
+            k=3,
             hash_flavor="xx64",
+            shingle="word",  # corpus-scale flavor: ~10x fewer shingles/page
         ).count(),
     )
     timed("tpch_q1", lambda: QUERIES["tpch_q1"](spark, SF_DIR).count())

@@ -60,6 +60,22 @@ def test_lsh_xx64_flavor(spark, docs):
         lsh_duplicate_pairs(docs, hash_flavor="crc")
 
 
+def test_lsh_word_shingles(spark, docs):
+    """Corpus-scale flavor: word 3-shingles find exact dups and the near-dup
+    (shares most word trigrams), and reject the unrelated doc."""
+    pairs = lsh_duplicate_pairs(
+        docs, num_hashes=6, k=3, min_shared_bands=3,
+        hash_flavor="xx64", shingle="word",
+    ).collect()
+    got = {(p.doc_a, p.doc_b) for p in pairs}
+    assert (0, 1) in got
+    assert (0, 3) not in got and (1, 3) not in got
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        lsh_duplicate_pairs(docs, shingle="sentence")
+
+
 def test_ngram_jaccard(spark, docs):
     pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
     by_pair = {(p.doc_a, p.doc_b): p.jaccard for p in pairs}
