@@ -343,6 +343,22 @@ class Dfa:
     start: int
     bof_moves: dict[int, int]
     eof_moves: dict[int, int]
+    # lazy cache: final flag of the terminal state of each state's EOF chain
+    # (chain followed at-most-once-per-state, so self-loops terminate)
+    _eof_final: np.ndarray | None = None
+
+    def eof_final(self) -> np.ndarray:
+        if self._eof_final is None:
+            out = np.array(self.final, copy=True)
+            for s in range(self.final.size):
+                seen: set[int] = set()
+                st = s
+                while st in self.eof_moves and st not in seen:
+                    seen.add(st)
+                    st = self.eof_moves[st]
+                out[s] = self.final[st]
+            self._eof_final = out
+        return self._eof_final
 
 
 def compile_regex(pattern: str) -> Dfa:
@@ -458,6 +474,7 @@ def _run_to_stuck(dfa: Dfa, codes: np.ndarray, pos: int) -> int | None:
         state = dfa.bof_moves[state]
     n = codes.size
     i = pos
+    eof_seen: set[int] | None = None
     while True:
         if i < n:
             nxt = dfa.table[state, dfa.class_of[codes[i]]]
@@ -465,11 +482,65 @@ def _run_to_stuck(dfa: Dfa, codes: np.ndarray, pos: int) -> int | None:
             nxt = -1
         if nxt < 0:
             if i >= n and state in dfa.eof_moves:
-                state = dfa.eof_moves[state]
-                continue
+                # An EOF pseudo-edge can self-loop (e.g. a quantified anchor
+                # like 'a$*'); apply each state's EOF move at most once so a
+                # pathological pattern fails fast instead of wedging.
+                if eof_seen is None:
+                    eof_seen = set()
+                if state not in eof_seen:
+                    eof_seen.add(state)
+                    state = dfa.eof_moves[state]
+                    continue
             return i if dfa.final[state] else None
         state = nxt
         i += 1
+
+
+def _match_ends(dfa: Dfa, codes: np.ndarray) -> np.ndarray:
+    """Run-to-stuck match end for EVERY candidate position, vectorized.
+
+    All candidates step through the dense transition table together, one
+    NumPy gather per step (the SURVEY §2.6 R4 promise; reference analogue is
+    per-state generated C, regex_generator.c:1156-1210). Most candidates go
+    stuck within a step or two, so the active set collapses quickly and the
+    loop runs O(longest match) iterations, not O(text).
+
+    Returns int64[n]: match end per position, or -1 (no match / stuck state
+    not final). Semantics identical to ``_run_to_stuck`` per position.
+    """
+    n = int(codes.size)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    cls = dfa.class_of[codes].astype(np.intp)
+    ends = np.full(n, -1, dtype=np.int64)
+    alive = np.arange(n, dtype=np.int64)  # candidate start positions
+    st = np.full(n, dfa.start, dtype=np.int64)
+    if dfa.start in dfa.bof_moves:
+        st[0] = dfa.bof_moves[dfa.start]  # BOF pseudo-edge: pos 0 only
+    eof_final = dfa.eof_final()
+    k = 0
+    while alive.size:
+        idx = alive + k
+        ex = idx >= n
+        if ex.any():
+            # input exhausted: outcome is the EOF-chain terminal's finality
+            fin = eof_final[st[ex]]
+            ends[alive[ex][fin]] = n
+            keep = ~ex
+            alive, st = alive[keep], st[keep]
+            if not alive.size:
+                break
+            idx = alive + k
+        nxt = dfa.table[st, cls[idx]]
+        stuck = nxt < 0
+        if stuck.any():
+            fin = dfa.final[st[stuck]]
+            ends[alive[stuck][fin]] = idx[stuck][fin]
+            keep = ~stuck
+            alive, nxt = alive[keep], nxt[keep]
+        st = nxt
+        k += 1
+    return ends
 
 
 class DfaMiner(Miner):
@@ -477,7 +548,8 @@ class DfaMiner(Miner):
 
     Scan rule: candidates at every char position ≥ the last match end
     (leftmost non-overlapping, extractor.c:59); empty matches rejected
-    (miner.c:261-264).
+    (miner.c:261-264). Execution is the vectorized ``_match_ends`` kernel;
+    ``_run_to_stuck`` is kept as the scalar reference for property tests.
     """
 
     def __init__(self, label: str, pattern: str, prob: float = 1.0):
@@ -489,11 +561,14 @@ class DfaMiner(Miner):
     def find(self, text: str) -> Iterator[Occurrence]:
         codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
         n = codes.size
+        ends = _match_ends(self.dfa, codes)
+        hits = np.nonzero(ends > np.arange(n, dtype=np.int64))[0]
         pos = 0
-        while pos < n:
-            end = _run_to_stuck(self.dfa, codes, pos)
-            if end is not None and end > pos:
-                yield Occurrence(pos, end, self.label, self.prob)
-                pos = end
-            else:
-                pos += 1
+        while True:
+            j = int(np.searchsorted(hits, pos, side="left"))
+            if j >= hits.size:
+                return
+            p = int(hits[j])
+            e = int(ends[p])
+            yield Occurrence(p, e, self.label, self.prob)
+            pos = e

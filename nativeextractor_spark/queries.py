@@ -898,9 +898,11 @@ def q_event_sessions(spark, sf_dir):
         ev.withColumn("_new", (gap.isNull() | (gap > 1800)).cast("int"))
         .withColumn("session_id", F.sum("_new").over(w))
     )
-    return sess.groupBy("user_id", "session_id").agg(
-        F.count("*").alias("n_events"),
-        F.min(F.unix_timestamp("ts")).alias("session_start"),
+    return sess.groupBy(
+        "user_id", F.col("session_id").cast("long").alias("session_id")
+    ).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.min(F.unix_timestamp("ts")).cast("long").alias("session_start"),
     )
 
 
@@ -919,12 +921,15 @@ g AS (
 ),
 s AS (
   SELECT user_id, ts, event_id, tsl,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) AS session_id
+         -- DuckDB window sum() over ints yields HUGEINT (int128), which the
+         -- driver's value hash renders differently from Spark's bigint.
+         cast(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS bigint)
+           AS session_id
   FROM g
 )
-SELECT user_id, session_id, count(*) AS n_events,
-       min(tsl) AS session_start
+SELECT user_id, session_id, cast(count(*) AS bigint) AS n_events,
+       cast(min(tsl) AS bigint) AS session_start
 FROM s GROUP BY user_id, session_id
 """
 

@@ -94,3 +94,33 @@ def test_dfa_is_picklable():
     m = DfaMiner("T", r"[0-9]{3}")
     m2 = pickle.loads(pickle.dumps(m))
     assert [o.ustart for o in m2.find("ab 123")] == [3]
+
+
+def test_quantified_anchor_terminates():
+    """ADVICE r1: an EOF pseudo-edge self-loop ('a$*') must not wedge the
+    executor; each state's EOF move applies at most once per position."""
+    m = DfaMiner("X", "a$*")
+    assert [(o.ustart, o.uend) for o in m.find("ba")] == [(1, 2)]
+    assert list(m.find("bb")) == []
+
+
+def test_vectorized_matches_scalar_reference():
+    """_match_ends (NumPy batch executor) == _run_to_stuck per position."""
+    import random
+
+    import numpy as np
+
+    from nativeextractor_spark.miners.regex_dfa import _match_ends, _run_to_stuck
+
+    rng = random.Random(1234)
+    pats = ["ab+c", "(a|b)*c", "x{2,4}", "[a-c]+d?", "a$*", "^ab", "colou?r",
+            r"\w+@\w+", "a.c"]
+    for pat in pats:
+        dfa = compile_regex(pat)
+        for _ in range(100):
+            t = "".join(rng.choice("abcdx @\n.") for _ in range(rng.randint(0, 50)))
+            codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+            ve = _match_ends(dfa, codes)
+            for p in range(codes.size):
+                se = _run_to_stuck(dfa, codes, p)
+                assert ve[p] == (-1 if se is None else se), (pat, t, p)
