@@ -48,8 +48,9 @@ def is_glob(glob: str) -> bool:
     last: str | None = None
     for ch in glob:
         if escape:
+            # C `continue` skips the prelast/last update: after "\x", last
+            # still points at the backslash (glob_entities.c:271-274)
             escape = False
-            prelast, last = last, ch
             continue
         if ch == "-":
             if brackets > 0 and (last == "-" or prelast == "-"):

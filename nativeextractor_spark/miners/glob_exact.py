@@ -120,9 +120,6 @@ def _retnul(m: _Cursor) -> None:
 
 
 def _match_any_character(m: _Cursor) -> bool:
-    ok = m.can_move(1) and not (
-        m.can_move(0) and is_delimiter(m.text[m.pos]) if m.pos < len(m.text) else False
-    )
     # reference: can_move(Right) && !match_delimiter(Stay)
     ok = m.can_move(1) and not is_delimiter(m.text[m.pos])
     if ok:

@@ -81,16 +81,45 @@ class AliasDict:
 
 
 class GazetteerMiner(Miner):
-    """NER miner over a broadcast :class:`AliasDict` (ner.c parity)."""
+    """NER miner over a broadcast :class:`AliasDict` (ner.c parity).
 
-    def __init__(self, index: AliasDict, label: str = "NER"):
+    Token-candidate rule (``match_named_entity``, ner.c:25-28, under the
+    extractor scan loop extractor.c:59-92):
+
+    - ``MATCH_DELIMITER(e, Left, Right)`` consumes one delimiter
+      (space ∪ punct ∪ cntrl) at the scan position, or passes at BOF;
+    - the token is then a maximal run of **non-space** chars
+      (``match_fn_plus(unicode_not_isspace)`` — punctuation stays inside);
+    - the prefix-ratio rule (``matched_bytes/token_bytes >= 0.75``) applies
+      per candidate start;
+    - on failure ``miner_c_run`` does NOT reset the stream, so the extractor
+      resumes from the token's END (extractor.c:85-88 advances past consumed
+      input). Consequently internal delimiters are never attempted mid-scan:
+      the effective candidates are exactly the maximal non-space runs, except
+      the run at offset 0, which has ONE leading delimiter char stripped when
+      ``text[0]`` is a delimiter (the Left-delimiter consume at BOF).
+      E.g. ``"(Obama"`` yields candidate ``"Obama"`` but ``"New-York"``
+      yields only ``"New-York"`` (never ``"York"``).
+
+    ``mode="boundary"`` (reference-free, recall-oriented) additionally probes
+    the suffix of each run after every internal delimiter char and keeps the
+    leftmost passing candidate per run — use for punctuated real-world text
+    where parity with the C scan is not required.
+    """
+
+    def __init__(self, index: AliasDict, label: str = "NER", mode: str = "parity"):
+        if mode not in ("parity", "boundary"):
+            raise ValueError(f"mode must be 'parity' or 'boundary', got {mode!r}")
         self.label = label
         self.index = index
+        self.mode = mode
         self._token_re: re.Pattern | None = None
+        self._delim_re: re.Pattern | None = None
 
     def __getstate__(self):
         state = self.__dict__.copy()
         state["_token_re"] = None
+        state["_delim_re"] = None
         return state
 
     @property
@@ -102,8 +131,35 @@ class GazetteerMiner(Miner):
             self._token_re = compile_cached(f"[^{class_body('space')}]+")
         return self._token_re
 
+    @property
+    def delim_re(self) -> re.Pattern:
+        if self._delim_re is None:
+            from nativeextractor_spark.miners.base import compile_cached
+
+            self._delim_re = compile_cached(f"[{class_body('delim')}]")
+        return self._delim_re
+
     def find(self, text: str) -> Iterator[Occurrence]:
         yield from self.find_batch([text])[0]
+
+    def _candidates(self, text: str) -> list[tuple[int, int, str]]:
+        """Candidate (start, end, token) spans in scan order."""
+        delim_match = self.delim_re.match
+        runs = [(m.start(), m.end()) for m in self.token_re.finditer(text)]
+        out: list[tuple[int, int, str]] = []
+        for s, e in runs:
+            if s == 0 and delim_match(text, 0):
+                s = 1  # BOF Left-delimiter consume strips one char
+                if s >= e:
+                    continue
+            out.append((s, e, text[s:e]))
+            if self.mode == "boundary":
+                # suffixes after each leading/internal delimiter char (ADVICE r1)
+                for m in self.delim_re.finditer(text, s, e - 1):
+                    cs = m.end()
+                    if cs > s:
+                        out.append((cs, e, text[cs:e]))
+        return out
 
     def _token_matches(self, tokens: set[str]) -> set[str]:
         """Which unique tokens satisfy the prefix-ratio rule (ner.c:29-34)."""
@@ -119,16 +175,16 @@ class GazetteerMiner(Miner):
     def find_batch(self, texts: list[str]) -> list[list[Occurrence]]:
         """Amortized batch path: one dictionary probe per *unique* token in
         the batch (the trie D3 lookup is per-key, so dedup is free parity)."""
-        token_re = self.token_re
-        doc_spans = [
-            [(m.start(), m.end(), m.group()) for m in token_re.finditer(t)]
-            for t in texts
-        ]
+        doc_spans = [self._candidates(t) for t in texts]
         uniq = {tok for spans in doc_spans for _, _, tok in spans}
         hits = self._token_matches(uniq)
         label, out = self.label, []
         for spans in doc_spans:
-            out.append(
-                [Occurrence(s, e, label, 1.0) for s, e, tok in spans if tok in hits]
-            )
+            occs = []
+            last_end = -1
+            for s, e, tok in spans:
+                if tok in hits and s >= last_end:
+                    occs.append(Occurrence(s, e, label, 1.0))
+                    last_end = e
+            out.append(occs)
         return out

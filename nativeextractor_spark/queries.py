@@ -155,6 +155,16 @@ def _occ_literals_sql() -> str:
 # --------------------------------------------------------------------------
 # miner / occurrence queries
 # --------------------------------------------------------------------------
+#
+# CORPUS INVARIANT (load-bearing for the oracles below): the driver-generated
+# documents.parquet `text` is lowercase [a-z ] with single spaces and no
+# leading/trailing space, so the miner delimiter class (space ∪ punct ∪
+# cntrl) coincides with a single literal space and DuckDB string_split(text,
+# ' ') tokenizes identically to the extractor scan. Asserted by
+# tests/test_contract.py::test_documents_corpus_invariant — if the generator
+# ever emits punctuation/tabs/newlines, that test fails before the oracle
+# gate silently diverges. Fixture texts with punctuation enter as VALUES
+# literals instead.
 
 
 def q_glob_token_the(spark, sf_dir):

@@ -49,7 +49,9 @@ def _shingle_expr(text_col: str, k: int, shingle: str = "char"):
             f" i -> substring(lower({text_col}), i, {k}))"
         )
     if shingle == "word":
-        toks = f"split(lower({text_col}), ' ')"
+        # split on the whitespace CLASS and drop empty tokens so tabs/newlines
+        # and space runs shingle identically across whitespace variants
+        toks = f"filter(split(lower({text_col}), '\\\\s+'), t -> t <> '')"
         return F.expr(
             f"transform(sequence(1, greatest(size({toks}) - {k - 1}, 1)),"
             f" i -> array_join(slice({toks}, i, {k}), ' '))"

@@ -48,3 +48,19 @@ def test_selected_queries_match_oracle_at_sf0001(spark, name):
     o_norm, o_cols = normalize(res.fetchall(), [d[0] for d in res.description])
     assert s_cols == o_cols
     assert s_norm == o_norm
+
+
+def test_documents_corpus_invariant(spark):
+    """The glob/NER/lang_id oracles tokenize with string_split(text, ' '),
+    which equals the miner delimiter class ONLY while documents.text is
+    single-spaced lowercase [a-z ]. Pin that invariant (at both shipped SFs)
+    so corpus drift fails loudly here instead of silently in the oracle gate.
+    """
+    from pyspark.sql import functions as F
+
+    for sf in ("sf0.001", "sf0.01"):
+        docs = spark.read.parquet(f"/root/testdata/{sf}/documents.parquet")
+        bad = docs.where(
+            ~F.col("text").rlike("^[a-z]+( [a-z]+)*$")
+        ).count()
+        assert bad == 0, f"{sf}: {bad} documents violate the [a-z ] invariant"

@@ -81,6 +81,15 @@ def test_is_glob_validator():
     assert not is_glob("[a--f]")
 
 
+def test_is_glob_escaped_dash():
+    """C `continue` on the escape branch skips the prelast/last update
+    (glob_entities.c:271-274): after "\\-", `last` still points at the
+    backslash, so '[\\--]' is valid while '[--]' is not."""
+    assert is_glob("[\\--]")
+    assert not is_glob("[--]")
+    assert not is_glob("[a--]")
+
+
 @pytest.mark.parametrize("text,glob,expected", CASES)
 def test_golden_counts_regex_engine(text, glob, expected):
     """The vectorized regex engine passes every reference fixture too."""

@@ -111,3 +111,45 @@ def test_person_org_heuristic_miners():
     assert org == ["Acme Widget Corp", "Globex Industries"]
     # lowercase / shouting text doesn't trigger
     assert list(PersonNameMiner().find("john smith AND MARY JONES")) == []
+
+
+def test_gazetteer_scan_parity_semantics():
+    """ner.c:25-28 under extractor.c:59-92, traced precisely:
+
+    - MATCH_DELIMITER(Left, Right) consumes ONE delimiter at the scan pos
+      (or passes at BOF), so a BOF run starting with punctuation strips
+      exactly one leading char: "(Obama" -> candidate "Obama".
+    - miner_c_run never resets the stream on failure and the extractor
+      resumes from the cursor (extractor.c:85-88), so a failed candidate
+      skips its whole non-space run: "New-York" never probes "York".
+    - the 0.75 ratio tolerates trailing bytes: "(Praha)" -> "Praha)" (5/6).
+    """
+    d = AliasDict.from_aliases(["Obama", "York", "Praha"])
+    m = GazetteerMiner(d)
+
+    def got(t):
+        return [t[o.ustart : o.uend] for o in m.find(t)]
+
+    assert got("(Obama") == ["Obama"]
+    assert got("((Obama") == []  # only ONE delimiter consumed at BOF
+    assert got("New-York") == []  # failure-advance: internal '-' not probed
+    assert got("x (Obama") == []  # token after space is "(Obama", ratio 0
+    assert got("(Praha)") == ["Praha)"]  # ratio 5/6 >= 0.75
+    assert got("Obama in York") == ["Obama", "York"]
+
+
+def test_gazetteer_boundary_mode_recall():
+    """Opt-in boundary mode probes suffixes after every delimiter char inside
+    a run (leftmost passing wins), recovering recall on punctuated text."""
+    d = AliasDict.from_aliases(["Obama", "York"])
+    m = GazetteerMiner(d, mode="boundary")
+
+    def got(t):
+        return [t[o.ustart : o.uend] for o in m.find(t)]
+
+    assert got("New-York") == ["York"]
+    assert got("x (Obama") == ["Obama"]
+    assert got("((Obama") == ["Obama"]
+    assert got("a New-York b") == ["York"]
+    # parity candidates still win when they pass (leftmost-first)
+    assert got("Obama in York") == ["Obama", "York"]

@@ -11,6 +11,7 @@ from nativeextractor_spark.textops import (
     fingerprint,
     language_id,
     lsh_duplicate_pairs,
+    minhash_bands,
     ngram_jaccard_pairs,
     quality_scores,
     simhash,
@@ -180,3 +181,20 @@ def test_sample_frames(spark):
     vids = media.where("kind = 'video'").count()
     assert len(frames) == vids * 3
     assert all(f.ts_ms % 1000 == 0 for f in frames)
+
+
+def test_word_shingles_whitespace_invariant(spark):
+    """Word shingles split on the whitespace class with empties dropped, so
+    tabs/newlines/space-runs produce identical signatures (ADVICE r1)."""
+    variants = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps"),
+            (1, "the quick\nbrown  fox\tjumps"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = minhash_bands(variants, shingle="word", k=3).collect()
+    sig = {}
+    for r in rows:
+        sig.setdefault(r.doc_id, {})[r.band] = r.min_hash
+    assert sig[0] == sig[1]
