@@ -601,7 +601,36 @@ WHERE inter * 1.0 / (sa.n_grams + sb.n_grams - inter) >= 0.8
 
 
 def q_simhash(spark, sf_dir):
-    return simhash(_docs(spark, sf_dir).where(F.col("doc_id") < 100))
+    # md5 token-hash flavor: the 64-bit signature itself is recomputable in
+    # ANSI SQL, so the oracle checks the full simhash value per document
+    return simhash(
+        _docs(spark, sf_dir).where(F.col("doc_id") < 100), token_hash="md5"
+    )
+
+
+O_SIMHASH = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS t
+  FROM documents WHERE doc_id < 100
+),
+h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS hv FROM toks),
+votes AS (
+  SELECT doc_id, b AS bit,
+         sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM h, (SELECT unnest(range(64)) AS b)
+  GROUP BY doc_id, b
+),
+sig AS (
+  SELECT doc_id,
+         sum(CASE WHEN vote > 0 THEN (1::HUGEINT << bit) ELSE 0::HUGEINT END) AS s
+  FROM votes GROUP BY doc_id
+)
+SELECT doc_id,
+       CASE WHEN s >= 9223372036854775808::HUGEINT
+            THEN (s - 18446744073709551616::HUGEINT)::BIGINT
+            ELSE s::BIGINT END AS simhash
+FROM sig
+"""
 
 
 def q_ann_topk(spark, sf_dir):
@@ -636,6 +665,42 @@ def q_ann_lsh(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return cosine_topk_lsh(emb, queries, k=5, n_planes=6, dim=64)
+
+
+def _ann_lsh_oracle_sql() -> str:
+    """DuckDB recomputation of the LSH path: the deterministic hyperplanes
+    (seed 42) are inlined as DOUBLE[] literals, buckets are sign bits, and
+    the bucket join + exact cosine re-rank mirror cosine_topk_lsh."""
+    from nativeextractor_spark.textops.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim=64, n_planes=6, seed=42)
+    terms = []
+    for p in range(planes.shape[0]):
+        lit = "[" + ", ".join(repr(float(x)) for x in planes[p]) + "]::DOUBLE[]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(ve, {lit}) >= 0"
+            f" THEN {1 << p} ELSE 0 END)"
+        )
+    bucket = "(" + " + ".join(terms) + ")"
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+b AS (SELECT vec_id, ve, {bucket} AS bucket FROM v),
+q AS (SELECT vec_id AS query_id, ve AS qv, bucket FROM b WHERE vec_id < 3),
+s AS (
+  SELECT q.query_id, b.vec_id,
+         round(list_dot_product(b.ve, q.qv)
+               / (sqrt(list_dot_product(b.ve, b.ve))
+                  * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+  FROM b JOIN q ON b.bucket = q.bucket
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rank
+      FROM s)
+SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5
+"""
+
+
+O_ANN_LSH = _ann_lsh_oracle_sql()
 
 
 def q_lang_id(spark, sf_dir):
@@ -951,7 +1016,33 @@ def q_multimodal_features(spark, sf_dir):
     )
 
     media = build_media_df(spark, n=24)
-    return extract_features(media).select("media_id", "kind", "n_bytes")
+    # payload_md5 is computed INSIDE the Arrow-batched kernel, so a value
+    # match proves the binary column crossed the Arrow boundary byte-exactly
+    return extract_features(media, checksum=True).select(
+        "media_id", "kind", "n_bytes", "payload_md5"
+    )
+
+
+def _multimodal_oracle_sql() -> str:
+    """Inline the deterministic media payloads as blob literals; DuckDB
+    recomputes byte length and md5(hex(payload)) independently."""
+    from nativeextractor_spark.textops.multimodal import build_media_rows
+
+    vals = ", ".join(
+        "({}, '{}', '{}'::BLOB)".format(
+            i, kind, "".join(f"\\x{b:02X}" for b in payload)
+        )
+        for i, kind, payload, _meta in build_media_rows(n=24, seed=42)
+    )
+    return f"""
+SELECT cast(media_id AS BIGINT) AS media_id, kind,
+       cast(octet_length(payload) AS INTEGER) AS n_bytes,
+       md5(hex(payload)) AS payload_md5
+FROM (VALUES {vals}) AS m(media_id, kind, payload)
+"""
+
+
+O_MULTIMODAL_FEATURES = _multimodal_oracle_sql()
 
 
 # --------------------------------------------------------------------------
@@ -1025,5 +1116,7 @@ def build_oracles() -> dict[str, str]:
         "rollup_orders": O_ROLLUP_ORDERS,
         "anti_join_new_nodes": O_ANTI_JOIN_NEW_NODES,
         "event_sessions": O_EVENT_SESSIONS,
-        # simhash / ann_lsh / multimodal_features: rows-only (non-SQL ops)
+        "simhash": O_SIMHASH,
+        "ann_lsh": O_ANN_LSH,
+        "multimodal_features": O_MULTIMODAL_FEATURES,
     }

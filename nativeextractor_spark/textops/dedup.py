@@ -125,13 +125,28 @@ def lsh_duplicate_pairs(
 
 
 def simhash(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    token_hash: str = "md5",
 ) -> DataFrame:
     """64-bit SimHash over whitespace tokens (vectorized NumPy kernel).
 
-    Token hash = blake2b-8byte (deterministic across processes); bit votes
-    accumulated per document. Returns (doc_id, simhash)."""
+    Token hash flavors (both deterministic across processes):
+    ``md5`` = first 8 bytes of md5(token) — reproducible in ANSI SQL, so the
+    signature itself is oracle-checkable; ``blake2b`` = blake2b-8byte.
+    Bit votes accumulated per document. Returns (doc_id, simhash)."""
     import hashlib
+
+    if token_hash == "md5":
+        tok_h = lambda t: int(hashlib.md5(t.encode()).hexdigest()[:16], 16)
+    elif token_hash == "blake2b":
+        tok_h = lambda t: int.from_bytes(
+            hashlib.blake2b(t.encode(), digest_size=8).digest(), "big"
+        )
+    else:
+        raise ValueError(f"unknown token_hash {token_hash!r}")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -143,12 +158,7 @@ def simhash(
                     out.append(0)
                     continue
                 hs = np.fromiter(
-                    (
-                        int.from_bytes(
-                            hashlib.blake2b(t.encode(), digest_size=8).digest(), "big"
-                        )
-                        for t in set(tokens)
-                    ),
+                    (tok_h(t) for t in set(tokens)),
                     dtype=np.uint64,
                 )
                 bit_matrix = (hs[:, None] >> np.arange(bits, dtype=np.uint64)) & 1

@@ -24,6 +24,10 @@ MEDIA_SCHEMA = (
 )
 
 FEATURE_SCHEMA = "media_id long, kind string, n_bytes int, feature array<float>"
+CHECKSUM_FEATURE_SCHEMA = (
+    "media_id long, kind string, n_bytes int, payload_md5 string,"
+    " feature array<float>"
+)
 
 
 class DecoderUnavailable(NotImplementedError):
@@ -62,21 +66,31 @@ def _fake_feature(payload: bytes, dim: int = 16) -> np.ndarray:
 
 
 def extract_features(
-    media: DataFrame, dim: int = 16, use_real_decoder: bool = False
+    media: DataFrame,
+    dim: int = 16,
+    use_real_decoder: bool = False,
+    checksum: bool = False,
 ) -> DataFrame:
     """media table → per-item feature vectors (Arrow-batched kernel).
 
     With ``use_real_decoder=True`` the kernel decodes images via PIL and
     raises :class:`DecoderUnavailable` when absent; the default path uses the
     deterministic fake so schema/batching are exercised end-to-end.
+
+    ``checksum=True`` adds ``payload_md5`` = md5 of the uppercase-hex payload
+    computed INSIDE the Python kernel — proving the binary column survived
+    the Arrow batch transfer byte-exactly (DuckDB recomputes it as
+    ``md5(hex(payload))``).
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats, nbytes = [], []
+            feats, nbytes, sums = [], [], []
             for payload, kind in zip(pdf["payload"], pdf["kind"]):
                 raw = bytes(payload) if payload is not None else b""
                 nbytes.append(len(raw))
+                if checksum:
+                    sums.append(hashlib.md5(raw.hex().upper().encode()).hexdigest())
                 if use_real_decoder and kind == "image":
                     img = decode_image(raw)  # raises DecoderUnavailable w/o PIL
                     vec = img.astype(np.float32).ravel()[:dim]
@@ -84,17 +98,22 @@ def extract_features(
                 else:
                     vec = _fake_feature(raw, dim)
                 feats.append(vec.tolist())
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "kind": pdf["kind"],
-                    "n_bytes": nbytes,
-                    "feature": feats,
-                }
-            )
+            cols = {
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "n_bytes": nbytes,
+                "feature": feats,
+            }
+            if checksum:
+                cols["payload_md5"] = sums
+            yield pd.DataFrame(cols)[
+                ["media_id", "kind", "n_bytes", "payload_md5", "feature"]
+                if checksum
+                else ["media_id", "kind", "n_bytes", "feature"]
+            ]
 
     return media.select("media_id", "kind", "payload").mapInPandas(
-        kernel, schema=FEATURE_SCHEMA
+        kernel, schema=CHECKSUM_FEATURE_SCHEMA if checksum else FEATURE_SCHEMA
     )
 
 
@@ -123,8 +142,9 @@ def sample_frames(
     )
 
 
-def build_media_df(spark, n: int = 32, seed: int = 42) -> DataFrame:
-    """Deterministic synthetic media table for tests/benches."""
+def build_media_rows(n: int = 32, seed: int = 42) -> list[tuple]:
+    """Deterministic synthetic media rows (plain Python — shared with the
+    DuckDB oracle, which inlines the same payloads as blob literals)."""
     import random
 
     rng = random.Random(seed)
@@ -145,4 +165,9 @@ def build_media_df(spark, n: int = 32, seed: int = 42) -> DataFrame:
                 },
             )
         )
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return rows
+
+
+def build_media_df(spark, n: int = 32, seed: int = 42) -> DataFrame:
+    """Deterministic synthetic media table for tests/benches."""
+    return spark.createDataFrame(build_media_rows(n, seed), MEDIA_SCHEMA)

@@ -24,8 +24,8 @@ def test_oracle_keys_subset_of_queries():
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     assert set(oracles) <= set(qs)
-    # rows-only ops are the documented non-SQL ones
-    assert set(qs) - set(oracles) == {"simhash", "ann_lsh", "multimodal_features"}
+    # every query is oracle-checked (r2: no rows-only ops remain)
+    assert set(qs) - set(oracles) == set()
 
 
 @pytest.mark.parametrize(
