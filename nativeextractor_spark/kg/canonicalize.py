@@ -76,6 +76,18 @@ def jaccard(s1: str, s2: str) -> float:
     return len(a & b) / len(a | b)
 
 
+def _batch_signatures(norms: list[str], a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(n_surfaces, num_hashes) signature matrix — one reduceat over the
+    batch's concatenated shingle hashes instead of a matmul per surface."""
+    shingles = [_shingle_hashes(s) for s in norms]  # each non-empty (padded)
+    counts = np.fromiter((x.size for x in shingles), dtype=np.int64, count=len(shingles))
+    flat = (np.concatenate(shingles) % np.uint64(_MERSENNE)).astype(np.int64)
+    offsets = np.zeros(len(norms), dtype=np.int64)
+    np.cumsum(counts[:-1], out=offsets[1:])
+    permuted = (a[:, None] * flat[None, :] + b[:, None]) % _MERSENNE  # (k, total)
+    return np.minimum.reduceat(permuted, offsets, axis=1).T
+
+
 def canonicalize_surfaces(
     surfaces: DataFrame,
     *,
@@ -94,42 +106,55 @@ def canonicalize_surfaces(
     spark = surfaces.sparkSession
     rows_per_band = max(num_hashes // bands, 1)
 
+    # materialize the (tiny, by design: distinct surfaces ≪ corpus) norm
+    # table once — the signature job, the emptiness probe and the final
+    # membership join all reuse it; without truncation each would re-run
+    # the full upstream mining lineage
     norm = (
         surfaces.select(F.col(surface_col).alias("surface"))
         .where(F.col("surface").isNotNull())
         .distinct()
         .withColumn("norm", _normalize_surface_col(F.col("surface")))
         .withColumn("surface_id", F.xxhash64("norm"))
+        .localCheckpoint(eager=True)
     )
 
     def sig_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         a, b = _minhash_params(num_hashes, seed)
         for pdf in batches:
-            out_rows = []
-            for norm_s, sid in zip(pdf["norm"], pdf["surface_id"]):
-                sh = (_shingle_hashes(norm_s) % np.uint64(_MERSENNE)).astype(np.int64)
-                sig = ((a[:, None] * sh[None, :] + b[:, None]) % _MERSENNE).min(
-                    axis=1
-                ).tolist()
-                for band in range(bands):
-                    chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
-                    # deterministic band hash (Python's hash() is per-process
-                    # salted and must never be shipped through a shuffle key)
-                    acc = 1469598103934665603
-                    for x in chunk:
-                        acc = (acc ^ x) * 1099511628211 % (1 << 63)
-                    out_rows.append((norm_s, int(sid), band, acc))
+            if not len(pdf):
+                continue
+            sigs = _batch_signatures(list(pdf["norm"]), a, b)
             yield pd.DataFrame(
-                out_rows, columns=["norm", "surface_id", "band", "band_hash"]
+                {
+                    "norm": pdf["norm"].to_numpy(),
+                    "surface_id": pdf["surface_id"].to_numpy(),
+                    "sig": list(sigs),
+                }
             )
 
-    bands_df = (
+    sig_df = (
         norm.select("norm", "surface_id")
         .distinct()
         .mapInPandas(
             sig_kernel,
-            schema="norm string, surface_id long, band int, band_hash long",
+            schema="norm string, surface_id long, sig array<long>",
         )
+    )
+
+    # band keys derived JVM-side: xxhash64 over each signature slice (the
+    # kernel emits only the raw signature — no per-band Python hashing, and
+    # the shuffle key is a deterministic JVM hash)
+    bands_df = sig_df.select(
+        "norm",
+        "surface_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}),"
+                f" b -> xxhash64(b, slice(sig, b * {rows_per_band} + 1,"
+                f" {rows_per_band})))"
+            )
+        ).alias("band", "band_hash"),
     )
 
     # skew bound: drop LSH buckets above max_bucket (counted, not silent)
@@ -156,7 +181,24 @@ def canonicalize_surfaces(
 
     @F.pandas_udf("double")
     def jaccard_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
-        return pd.Series([jaccard(a, b) for a, b in zip(s1, s2)])
+        # shingle arrays cached per distinct norm within the Arrow batch;
+        # set ops as sorted-array intersections (no Python sets)
+        cache: dict[str, np.ndarray] = {}
+
+        def sh(s: str) -> np.ndarray:
+            r = cache.get(s)
+            if r is None:
+                r = _shingle_hashes(s)  # unique + sorted
+                cache[s] = r
+            return r
+
+        out = np.empty(len(s1), dtype=np.float64)
+        for i, (x, y) in enumerate(zip(s1, s2)):
+            a, b = sh(x), sh(y)
+            inter = np.intersect1d(a, b, assume_unique=True).size
+            union = a.size + b.size - inter
+            out[i] = 1.0 if union == 0 else inter / union
+        return pd.Series(out)
 
     verified = pairs.withColumn("jac", jaccard_udf("norm_a", "norm_b")).where(
         F.col("jac") >= jaccard_threshold
