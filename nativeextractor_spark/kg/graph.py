@@ -25,6 +25,56 @@ from pyspark.sql import functions as F
 N_BUCKETS = 256
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for any Hadoop-supported scheme (file:, hdfs:,
+    s3a:, ...) — never assume a POSIX local filesystem on the driver."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    fs, p = _hadoop_fs(spark, path)
+    return bool(fs.exists(p))
+
+
+def _fs_child_names(spark: SparkSession, path: str) -> list[str]:
+    fs, p = _hadoop_fs(spark, path)
+    if not fs.exists(p):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(p)]
+
+
+def _fs_read_text(spark: SparkSession, path: str) -> str | None:
+    fs, p = _hadoop_fs(spark, path)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+
+
+def _fs_write_text(spark: SparkSession, path: str, text: str) -> None:
+    fs, p = _hadoop_fs(spark, path)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _bucket_dirs(spark: SparkSession, path: str) -> set[int]:
+    return {
+        int(name.split("=", 1)[1])
+        for name in _fs_child_names(spark, path)
+        if name.startswith("_bucket=")
+    }
+
+
 def merge_into(
     df: DataFrame,
     path: str,
@@ -37,21 +87,15 @@ def merge_into(
     buckets present in ``df`` are rewritten: existing rows in those buckets
     that don't collide on the natural key are kept (anti-join), then the
     union overwrites those partitions dynamically. With an Iceberg catalog
-    this becomes ``MERGE INTO`` (same keys).
+    this becomes ``MERGE INTO`` (same keys). Table listing goes through the
+    Hadoop FileSystem API, so ``path`` may be file:/hdfs:/s3a:/... .
     """
     spark = df.sparkSession
     bucket = F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).cast("int")
     new = df.withColumn("_bucket", bucket)
-    exists = os.path.exists(path) and any(
-        name.startswith("_bucket=") for name in os.listdir(path)
-    )
-    if exists:
+    on_disk = _bucket_dirs(spark, path)
+    if on_disk:
         touched = {r._bucket for r in new.select("_bucket").distinct().collect()}
-        on_disk = {
-            int(name.split("=", 1)[1])
-            for name in os.listdir(path)
-            if name.startswith("_bucket=")
-        }
         readable = sorted(touched & on_disk)
         if readable:
             old = (
@@ -101,10 +145,11 @@ class StageCheckpoint:
         return hashlib.sha256(blob.encode()).hexdigest()
 
     def is_valid(self, config: dict, input_sig: str) -> bool:
-        if not os.path.exists(self.manifest_path):
+        spark = SparkSession.getActiveSession()
+        raw = _fs_read_text(spark, self.manifest_path) if spark else None
+        if raw is None:
             return False
-        with open(self.manifest_path) as f:
-            manifest = json.load(f)
+        manifest = json.loads(raw)
         return manifest.get("signature") == self.signature(config, input_sig)
 
     def load(self, spark: SparkSession) -> DataFrame:
@@ -119,9 +164,10 @@ class StageCheckpoint:
         ).agg(F.count("*").alias("row_count"))
         lineage.write.mode("overwrite").parquet(self.lineage_path)
         total = materialized.count()
-        os.makedirs(os.path.dirname(self.manifest_path), exist_ok=True)
-        with open(self.manifest_path, "w") as f:
-            json.dump(
+        _fs_write_text(
+            spark,
+            self.manifest_path,
+            json.dumps(
                 {
                     "stage": self.stage,
                     "signature": self.signature(config, input_sig),
@@ -129,9 +175,9 @@ class StageCheckpoint:
                     "input": input_sig,
                     "rows": total,
                 },
-                f,
                 indent=2,
-            )
+            ),
+        )
         return materialized
 
     def run(self, spark: SparkSession, config: dict, input_sig: str, fn) -> DataFrame:

@@ -70,3 +70,36 @@ def test_checkpoint_resume(spark, tmp_path_factory):
     lineage = spark.read.parquet(ck.lineage_path)
     assert lineage.agg(F.sum("row_count")).first()[0] == 5
     assert set(lineage.columns) == {"partition_id", "row_count"}
+
+
+def test_merge_into_uri_path(spark, tmp_path_factory):
+    """merge_into lists the table through the Hadoop FS API: a file: URI
+    (which os.listdir cannot handle) must work end-to-end."""
+    base = tmp_path_factory.mktemp("merge_uri")
+    path = f"file://{base}/table"
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    merge_into(df1, path, keys=["k"])
+    df2 = spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string")
+    merge_into(df2, path, keys=["k"])
+    rows = {(r.k, r.v) for r in spark.read.parquet(path).select("k", "v").collect()}
+    assert rows == {(1, "a"), (2, "B"), (3, "c")}
+
+
+def test_stage_checkpoint_uri_manifest(spark, tmp_path_factory):
+    """StageCheckpoint manifests go through Hadoop FS too (URI roots work)."""
+    from nativeextractor_spark.kg.graph import StageCheckpoint
+
+    root = f"file://{tmp_path_factory.mktemp('ck_uri')}"
+    ck = StageCheckpoint(root, "s1")
+    calls = []
+
+    def fn():
+        calls.append(1)
+        return spark.createDataFrame([(1,)], "x long")
+
+    out1 = ck.run(spark, {"a": 1}, "sig", fn)
+    out2 = ck.run(spark, {"a": 1}, "sig", fn)  # resume: fn not re-run
+    assert len(calls) == 1
+    assert out1.count() == out2.count() == 1
+    ck.run(spark, {"a": 2}, "sig", fn)  # config change invalidates
+    assert len(calls) == 2
