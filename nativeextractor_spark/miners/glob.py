@@ -101,6 +101,65 @@ def _starts_with_delimiter(glob: str) -> bool:
     return is_delimiter(c)
 
 
+def regex_engine_safe(glob: str) -> bool:
+    """True iff ``glob`` is in the PROVEN exact≡regex equivalence class
+    (domain A in tests/test_glob_property.py): star-free with no element
+    able to match a delimiter char.
+
+    Conservative exclusions:
+    - ``*`` — failed star attempts move the scan guard past later
+      candidates (finditer can't express that);
+    - any delimiter-matching literal / set member — matches could span
+      token boundaries, where the guard reasoning breaks;
+    - escapes (top-level or in sets) — the reference's match_character
+      probes the raw backslash too (a punct delimiter), a quirk the regex
+      translation does not encode.
+    """
+    from nativeextractor_spark.functions.unicode import is_delimiter
+
+    def safe_char(ch: str) -> bool:
+        return not any(is_delimiter(v) for v in _case_variants(ch))
+
+    i, n = 0, len(glob)
+    while i < n:
+        ch = glob[i]
+        if ch in "*\\":
+            return False
+        if ch == "?":
+            i += 1
+        elif ch == "[":
+            i += 1
+            last: str | None = None
+            while i < n and glob[i] != "]":
+                c = glob[i]
+                if c == "\\":
+                    return False
+                if c == "-" and last is not None and i + 1 < n and glob[i + 1] != "]":
+                    lo, hi = ord(last), ord(glob[i + 1])
+                    # huge ranges keep raw-range form in the regex (no case
+                    # expansion) — a pre-existing translation approximation,
+                    # so they stay on the exact engine
+                    if hi - lo > _RANGE_EXPAND_LIMIT:
+                        return False
+                    if any(not safe_char(chr(cp)) for cp in range(lo, hi + 1)):
+                        return False
+                    i += 2
+                    last = glob[i - 1]
+                    continue
+                if not safe_char(c):
+                    return False
+                last = c
+                i += 1
+            if i >= n:
+                return False
+            i += 1  # ']'
+        else:
+            if not safe_char(ch):
+                return False
+            i += 1
+    return True
+
+
 def _case_variants(ch: str) -> set[str]:
     """Chars the reference's match_character accepts for pattern char ``ch``.
 
@@ -219,12 +278,14 @@ class GlobMiner(PatternMiner):
     """Miner matching one glob pattern; label defaults to "Glob" like the
     reference factory (glob_entities.c:311-317).
 
-    ``engine="exact"`` (default) runs the transcribed reference cursor
+    ``engine="auto"`` (default) resolves per pattern: the compiled-regex
+    fast path (C-speed ``re`` scanning) when :func:`regex_engine_safe`
+    proves pattern-level equivalence, else the transcribed reference cursor
     machine (:mod:`nativeextractor_spark.miners.glob_exact`) — bit-exact
-    including failure-advance scan guards. ``engine="regex"`` runs the
-    compiled translation above — the vectorized fast path, equivalent on
-    single-delimiter-class text (whitespace-separated tokens; property-tested)
-    and on all reference fixtures.
+    including failure-advance scan guards. ``engine="exact"`` /
+    ``engine="regex"`` force a specific engine (the regex path is also
+    equivalent for ANY glob on delimiter-free text — property-tested —
+    and passes every reference fixture).
     """
 
     def __init__(
@@ -232,12 +293,14 @@ class GlobMiner(PatternMiner):
         glob: str,
         label: str = "Glob",
         prob: float = 1.0,
-        engine: str = "exact",
+        engine: str = "auto",
     ):
         super().__init__(label, glob_to_regex(glob), prob)
         self.glob = glob
-        if engine not in ("exact", "regex"):
+        if engine not in ("auto", "exact", "regex"):
             raise ValueError(f"unknown engine {engine!r}")
+        if engine == "auto":
+            engine = "regex" if regex_engine_safe(glob) else "exact"
         self.engine = engine
 
     def find(self, text: str):

@@ -101,3 +101,31 @@ def test_guard_divergence_class_documented():
     # leaked end-mark from a failed recursive rest-match
     assert _spans(GlobMiner("a*?", engine="exact"), "a  aa") == []
     assert _spans(GlobMiner("a*?", engine="regex"), "a  aa") == [(3, 5)]
+
+
+def test_auto_engine_selection():
+    """engine="auto" (the default) picks regex exactly on the proven class."""
+    from nativeextractor_spark.miners.glob import regex_engine_safe
+
+    assert GlobMiner("the").engine == "regex"  # star-free, delimiter-free
+    assert GlobMiner("[a-f]x?").engine == "regex"
+    assert GlobMiner("s*k").engine == "exact"  # star → guard semantics
+    assert GlobMiner("a.b").engine == "exact"  # literal delimiter
+    assert GlobMiner("\\a").engine == "exact"  # escape probes raw backslash
+    assert GlobMiner("[a.]").engine == "exact"  # delimiter in set
+    assert not regex_engine_safe("[a\\-b]")  # escape inside set
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    text=st.text(alphabet="abcABC .x-\\", min_size=0, max_size=40),
+    glob=any_globs(),
+)
+def test_auto_engine_matches_exact_on_any_text(text, glob):
+    """The auto-selected engine must be span-identical to the exact machine
+    on arbitrary text — the whole point of the safety predicate."""
+    if not is_glob(glob):
+        return
+    auto = _spans(GlobMiner(glob), text)
+    exact = _spans(GlobMiner(glob, engine="exact"), text)
+    assert auto == exact, f"text={text!r} glob={glob!r}"
