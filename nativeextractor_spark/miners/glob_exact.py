@@ -262,3 +262,95 @@ def reference_glob_scan(text: str, glob: str) -> list[tuple[int, int]]:
             guard = max(m.end if m.end is not None else 0, m.pos, end_last)
         pos += 1
     return out
+
+
+def filter_longest_occurrences(
+    occs: list[tuple[int, int, str]],
+) -> list[tuple[int, int, str]]:
+    """Port of ``filter_longest_occurrences`` (extractor.c:145-200): remove
+    occurrences strictly enclosed by another in the same batch; identical
+    spans (different miners) are kept. Exact C pairwise control flow."""
+    alive = [True] * len(occs)
+    for i in range(len(occs)):
+        for j in range(i + 1, len(occs)):
+            if not alive[i]:
+                break
+            if not alive[j]:
+                continue
+            a0, a1, _ = occs[i]
+            b0, b1, _ = occs[j]
+            if a0 == b0 and a1 == b1:
+                continue
+            if a0 <= b0 and b1 <= a1:
+                alive[j] = False
+            if b0 <= a0 and a1 <= b1:
+                alive[i] = False
+    return [o for o, keep in zip(occs, alive) if keep]
+
+
+def batched_extractor_scan(
+    text: str,
+    globs: list[str],
+    batch_size: int,
+    no_enclosed: bool = False,
+) -> list[list[tuple[int, int, str]]]:
+    """O4 compat mode: full ``extractor_c_next(batch)`` parity for
+    batch < document (extractor.c:55-92 thread loop + :242-251 post-batch
+    bookkeeping). Returns the occurrences emitted per batch call.
+
+    Semantics reproduced exactly:
+    - each miner advances ``batch_size`` unicode chars per call with the
+      C batch accounting (failed/successful attempts charge net movement);
+    - with ``no_enclosed`` (E_NO_ENCLOSED_OCCURRENCES), an occurrence whose
+      end <= the PREVIOUS batches' ``last_max`` is dropped at emission
+      (extractor.c:69-76 — the cross-batch pre-filter this mode exists for),
+      the batch is then enclosure-filtered, and ``last_max`` advances to the
+      max surviving end;
+    - miner-side guards (pos_last/end_last) update on failure and on
+      emission-dropped occurrences alike (miner.c:25-33, :271).
+
+    The canonical Spark path (operators/extract.py) processes whole
+    documents (batch = doc) where this is unobservable; this function exists
+    for parity audits against a reference binary driven with small batches.
+    """
+    n = len(text)
+    miners = [
+        {"glob": g, "pos": 0, "pos_last": 0, "end_last": 0, "eof": n == 0}
+        for g in globs
+    ]
+    last_max = 0
+    out_batches: list[list[tuple[int, int, str]]] = []
+    while any(not m["eof"] for m in miners):
+        out: list[tuple[int, int, str]] = []
+        for m in miners:
+            budget = batch_size
+            while not m["eof"] and budget > 0:
+                pos = m["pos"]
+                if pos >= max(m["pos_last"], m["end_last"]):
+                    cur = _Cursor(text, pos, m["end_last"])
+                    occ = match_glob_impl(cur, m["glob"])
+                    if occ is not None:
+                        m["end_last"] = occ[1]
+                        if not (
+                            no_enclosed and last_max > 0 and occ[1] <= last_max
+                        ):
+                            out.append((occ[0], occ[1], m["glob"]))
+                    # miner_c_run: pos_last = max(end, stream->pos)
+                    m["pos_last"] = max(
+                        cur.end if cur.end is not None else 0, cur.pos
+                    )
+                    if cur.pos > pos:
+                        # batch -= (moved - 1); move(-1)  [extractor.c:85-88]
+                        budget -= cur.pos - pos - 1
+                        m["pos"] = cur.pos - 1
+                # bottom-of-loop move(1)
+                m["pos"] += 1
+                budget -= 1
+                if m["pos"] >= n:
+                    m["eof"] = True
+        if no_enclosed:
+            out = filter_longest_occurrences(out)
+            for _, end, _ in out:
+                last_max = max(last_max, end)
+        out_batches.append(out)
+    return out_batches

@@ -65,3 +65,70 @@ def test_sort_order_pos_then_len_asc():
     cols = scan_document("abc def", miners, no_enclosed=False, sort_results=True)
     spans = list(zip(cols["pos"].tolist(), cols["len"].tolist()))
     assert spans == sorted(spans)
+
+
+def test_multi_batch_golden_counts():
+    """tests/enclosed.c:199-221 (multi_batch): batch=3 over
+    'abc def ghi jkl' with 6 globs — 6 plain, 3 with the enclosed filter's
+    cross-batch last_max pre-filter (O4 compat mode)."""
+    from nativeextractor_spark.miners.glob_exact import batched_extractor_scan
+
+    text = "abc def ghi jkl"
+    globs = ["abc def", "abc", "def", "def ghi", "ghi", "jkl"]
+    plain = batched_extractor_scan(text, globs, 3)
+    assert sum(len(b) for b in plain) == 6
+    filtered = batched_extractor_scan(text, globs, 3, no_enclosed=True)
+    kept = [o for b in filtered for o in b]
+    assert len(kept) == 3
+    assert {(s, e) for s, e, _ in kept} == {(0, 7), (4, 11), (12, 15)}
+
+
+def test_small_batch_golden_counts():
+    """tests/enclosed.c:223-243 (small_batch): batch=1, same text/globs —
+    6 plain, 3 filtered."""
+    from nativeextractor_spark.miners.glob_exact import batched_extractor_scan
+
+    text = "abc def ghi jkl"
+    globs = ["abc def", "abc", "def", "def ghi", "ghi", "jkl"]
+    assert sum(len(b) for b in batched_extractor_scan(text, globs, 1)) == 6
+    kept = [
+        o
+        for b in batched_extractor_scan(text, globs, 1, no_enclosed=True)
+        for o in b
+    ]
+    assert len(kept) == 3
+
+
+def test_single_batch_golden_counts():
+    """tests/enclosed.c:177-196 (single_batch): whole text in one batch."""
+    from nativeextractor_spark.miners.glob_exact import batched_extractor_scan
+
+    text = "abc def"
+    globs = ["abc def", "abc", "def"]
+    assert sum(len(b) for b in batched_extractor_scan(text, globs, 10)) == 3
+    kept = [
+        o
+        for b in batched_extractor_scan(text, globs, 10, no_enclosed=True)
+        for o in b
+    ]
+    assert len(kept) == 1
+
+
+def test_batched_scan_matches_whole_doc_scan():
+    """batch >= len(text) reduces to the per-miner whole-document scan."""
+    from nativeextractor_spark.miners.glob_exact import (
+        batched_extractor_scan,
+        reference_glob_scan,
+    )
+
+    text = "sk skx s.k ss kk sqqk sk"
+    globs = ["s*k", "s?", "sk"]
+    batched = [
+        (s, e, g)
+        for b in batched_extractor_scan(text, globs, len(text) + 5)
+        for s, e, g in b
+    ]
+    whole = [
+        (s, e, g) for g in globs for s, e in reference_glob_scan(text, g)
+    ]
+    assert sorted(batched) == sorted(whole)
