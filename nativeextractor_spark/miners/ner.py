@@ -113,8 +113,18 @@ class GazetteerMiner(Miner):
         self.label = label
         self.index = index
         self.mode = mode
+        self._resolved: frozenset[str] | None = None
         self._token_re: re.Pattern | None = None
         self._delim_re: re.Pattern | None = None
+
+    def with_resolved_tokens(self, hits: frozenset[str]) -> "GazetteerMiner":
+        """Copy of this miner whose ratio rule is pre-resolved: token
+        matching becomes set membership in ``hits`` (see
+        :func:`prepass_resolve` — the corpus-level distinct-token pre-pass).
+        """
+        m = GazetteerMiner(self.index, self.label, self.mode)
+        m._resolved = frozenset(hits)
+        return m
 
     def __getstate__(self):
         state = self.__dict__.copy()
@@ -163,6 +173,8 @@ class GazetteerMiner(Miner):
 
     def _token_matches(self, tokens: set[str]) -> set[str]:
         """Which unique tokens satisfy the prefix-ratio rule (ner.c:29-34)."""
+        if self._resolved is not None:
+            return tokens & self._resolved
         uniq = list(tokens)
         if not uniq:
             return set()
@@ -188,3 +200,54 @@ class GazetteerMiner(Miner):
                     last_end = e
             out.append(occs)
         return out
+
+
+def prepass_resolve(
+    docs_df, miner: GazetteerMiner, text_col: str = "text"
+) -> GazetteerMiner:
+    """Corpus-level distinct-token pre-pass (amortized trie probing).
+
+    At 100 TB the same tokens recur across billions of pages; probing the
+    dictionary once per DISTINCT corpus token beats probing per Arrow batch.
+    Three stages, all distributed:
+
+    1. emit each document's candidate tokens (the miner's own scan rule, so
+       parity/boundary candidates match the extraction pass exactly) and
+       ``distinct()`` them corpus-wide;
+    2. run the prefix-ratio probe over the distinct tokens on executors;
+    3. collect only the MATCHED tokens — bounded by the dictionary's fuzz
+       neighborhood (every hit shares >=75% of its bytes with a key), not by
+       corpus vocabulary — and broadcast them back as a pre-resolved miner
+       whose extraction-time rule is set membership.
+
+    Opt-in, not the default: the pre-pass costs one extra corpus scan, which
+    pays off when probe cost dominates (large dictionaries / many
+    GazetteerMiners sharing the pass), not for small alias lists (measured
+    at sf0.1 with the 16-alias KG dictionary: direct 9.4 s vs pre-pass
+    9.7 s build + 8.6 s extract; outputs identical, 447k occurrences).
+    """
+    import pandas as pd
+
+    def tok_kernel(batches):
+        for pdf in batches:
+            toks: set[str] = set()
+            for t in pdf[text_col]:
+                if isinstance(t, str) and t:
+                    toks.update(tok for _, _, tok in miner._candidates(t))
+            yield pd.DataFrame({"token": sorted(toks)})
+
+    def probe_kernel(batches):
+        for pdf in batches:
+            hits = miner._token_matches(set(pdf["token"]))
+            yield pd.DataFrame(
+                {"token": [t for t in pdf["token"] if t in hits]}
+            )
+
+    tokens = (
+        docs_df.select(text_col)
+        .mapInPandas(tok_kernel, schema="token string")
+        .distinct()
+    )
+    matched = tokens.mapInPandas(probe_kernel, schema="token string")
+    hits = frozenset(r.token for r in matched.collect())
+    return miner.with_resolved_tokens(hits)

@@ -153,3 +153,32 @@ def test_gazetteer_boundary_mode_recall():
     assert got("a New-York b") == ["York"]
     # parity candidates still win when they pass (leftmost-first)
     assert got("Obama in York") == ["Obama", "York"]
+
+
+def test_gazetteer_prepass_matches_direct(spark):
+    """prepass_resolve (corpus distinct-token pre-pass) must be occurrence-
+    identical to direct probing, in both modes."""
+    from pyspark.sql import Row
+
+    from nativeextractor_spark.miners.ner import prepass_resolve
+    from nativeextractor_spark.operators import extract_occurrences
+
+    docs = spark.createDataFrame(
+        [
+            Row(url="a", text="obama met york in prague"),
+            Row(url="b", text="(obama spoke, new-york waited"),
+            Row(url="c", text=None),
+            Row(url="d", text="yorkshire terriers prefer obamacare"),
+        ]
+    )
+    d = AliasDict.from_aliases(["obama", "york", "praha"])
+    for mode in ("parity", "boundary"):
+        direct = GazetteerMiner(d, mode=mode)
+        resolved = prepass_resolve(docs, direct)
+        r1 = sorted(
+            map(tuple, extract_occurrences(docs, [direct]).collect())
+        )
+        r2 = sorted(
+            map(tuple, extract_occurrences(docs, [resolved]).collect())
+        )
+        assert r1 == r2 and len(r1) > 0
