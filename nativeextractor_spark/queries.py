@@ -703,6 +703,55 @@ SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5
 O_ANN_LSH = _ann_lsh_oracle_sql()
 
 
+def q_ann_ivf(spark, sf_dir):
+    from nativeextractor_spark.textops.similarity import cosine_topk_ivf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk_ivf(emb, queries, k=5, n_centroids=8, nprobe=2)
+
+
+def _cos_sql(a, b):
+    return (
+        f"round(list_dot_product({a}, {b})"
+        f" / (sqrt(list_dot_product({a}, {a}))"
+        f" * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+
+
+O_ANN_IVF = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+c AS (SELECT vec_id AS cent_id, ve AS cv FROM v WHERE vec_id < 8),
+asg AS (
+  SELECT vec_id, ve, cent_id AS cell FROM (
+    SELECT v.vec_id, v.ve, c.cent_id,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_cos_sql('v.ve', 'c.cv')} DESC,
+                                       c.cent_id) AS r
+    FROM v CROSS JOIN c) WHERE r = 1
+),
+q AS (SELECT vec_id AS query_id, ve AS qv FROM v WHERE vec_id < 3),
+probes AS (
+  SELECT query_id, qv, cent_id AS cell FROM (
+    SELECT q.query_id, q.qv, c.cent_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {_cos_sql('q.qv', 'c.cv')} DESC,
+                                       c.cent_id) AS r
+    FROM q CROSS JOIN c) WHERE r <= 2
+),
+s AS (
+  SELECT p.query_id, a.vec_id, {_cos_sql('a.ve', 'p.qv')} AS cosine
+  FROM asg a JOIN probes p ON a.cell = p.cell
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rank
+      FROM s)
+SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5
+"""
+
+
 def q_lang_id(spark, sf_dir):
     return language_id(_docs(spark, sf_dir))
 
@@ -1071,6 +1120,7 @@ QUERIES = {
     "simhash": q_simhash,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "lang_id": q_lang_id,
     "quality": q_quality,
     "token_counts": q_token_counts,
@@ -1118,5 +1168,6 @@ def build_oracles() -> dict[str, str]:
         "event_sessions": O_EVENT_SESSIONS,
         "simhash": O_SIMHASH,
         "ann_lsh": O_ANN_LSH,
+        "ann_ivf": O_ANN_IVF,
         "multimodal_features": O_MULTIMODAL_FEATURES,
     }

@@ -146,3 +146,78 @@ def cosine_topk_lsh(
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
     )
+
+
+def cosine_topk_ivf(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k via IVF coarse quantization: assign every vector to
+    its nearest centroid cell, probe only each query's ``nprobe`` nearest
+    cells, exact cosine re-rank inside them.
+
+    The coarse codebook here is a deterministic seed set (the
+    ``n_centroids`` lowest-id vectors) so the result is oracle-checkable; a
+    production build would train it with k-means — the Spark plan is
+    identical either way: centroids broadcast to the assignment scan (one
+    pass, no shuffle of the corpus), then a cell-equi-join replaces the full
+    scan. Returns (query_id, vec_id, cosine, rank).
+    """
+    v = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
+    cents = F.broadcast(
+        vectors.where(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("_c")
+        )
+    )
+
+    def nearest_cells(df, id_name, vec, keep):
+        sim = df.crossJoin(cents).withColumn(
+            "_csim",
+            F.round(
+                _dot(F.col(vec), F.col("_c"))
+                / (_norm(F.col(vec)) * _norm(F.col("_c"))),
+                6,
+            ),
+        )
+        w = Window.partitionBy(id_name).orderBy(
+            F.desc("_csim"), F.asc("cent_id")
+        )
+        return (
+            sim.withColumn("_crank", F.row_number().over(w))
+            .where(F.col("_crank") <= keep)
+            .drop("_c", "_csim", "_crank")
+        )
+
+    assigned = nearest_cells(v, "vec_id", "_v", 1).withColumnRenamed(
+        "cent_id", "cell"
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    probes = nearest_cells(q, "query_id", "_qv", nprobe).withColumnRenamed(
+        "cent_id", "cell"
+    )
+    sim = (
+        assigned.join(probes, "cell")
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("_v"), F.col("_qv"))
+                / (_norm(F.col("_v")) * _norm(F.col("_qv"))),
+                6,
+            ),
+        )
+        .drop("_v", "_qv", "cell")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
