@@ -39,6 +39,23 @@ def _alnum() -> str:
     return class_body("alnum")
 
 
+_EMAIL_LEFT_SET: frozenset[str] | None = None
+
+
+def _email_left_set() -> frozenset[str]:
+    """Left-context chars (alnum ∪ {-,.,_}) as a set — per-char membership
+    for the backwards walk from each '@'."""
+    global _EMAIL_LEFT_SET
+    if _EMAIL_LEFT_SET is None:
+        import numpy as np
+
+        from nativeextractor_spark.functions.unicode import class_mask
+
+        cps = np.flatnonzero(class_mask("alnum"))
+        _EMAIL_LEFT_SET = frozenset(map(chr, cps.tolist())) | frozenset("-._")
+    return _EMAIL_LEFT_SET
+
+
 class EmailMiner(Miner):
     """Parity port of the naive email miner
     (``/root/reference/src/example/naive_email_miner.c:118-154``).
@@ -62,31 +79,43 @@ class EmailMiner(Miner):
 
     @property
     def compiled(self) -> re.Pattern:
+        """Right-context pattern, anchored just past the '@'."""
         if self._compiled is None:
             from nativeextractor_spark.miners.base import compile_cached
 
-            a = _alnum()
-            left = f"[{a}\\-._]"
-            dom = f"[{a}\\-_]"
+            dom = f"[{_alnum()}\\-_]"
             # (?:[dom]*\.)+ = 1+ dots (>=2 subdomains, empty mid-subdomains OK);
             # trailing (?![dom.]) = the greedy domain scan stopped here
             self._compiled = compile_cached(
-                f"{left}+@(?:{dom}*\\.)+(?P<last>{dom}+)(?!{dom}|\\.)"
+                f"(?:{dom}*\\.)+(?P<last>{dom}+)(?!{dom}|\\.)"
             )
         return self._compiled
 
     def find(self, text: str) -> Iterator[Occurrence]:
+        """'@'-anchored scan, like the reference cursor (which walks LEFT
+        from the '@', naive_email_miner.c:29-46): a C-speed ``str.find('@')``
+        replaces leading-class regex scanning, which backtracks
+        quadratically on plain text. Semantics identical to searching
+        ``left+@right`` from the last match end: left run = maximal run of
+        left-class chars ending at the '@' (clamped at the previous match
+        end), right context anchored after it."""
+        left_set = _email_left_set()
+        right = self.compiled
         pos = 0
-        pat = self.compiled
-        while True:
-            m = pat.search(text, pos)
-            if m is None:
-                return
-            pos = m.end()
-            # last subdomain must span >=2 BYTES (naive_email_miner.c:105-112)
-            if len(m.group("last").encode("utf-8")) < 2:
-                continue
-            yield Occurrence(m.start(), m.end(), self.label, 1.0)
+        i = text.find("@")
+        while i != -1:
+            if i > pos:  # left run needs >=1 char at index >= pos
+                m = right.match(text, i + 1)
+                if m is not None:
+                    s = i
+                    while s > pos and text[s - 1] in left_set:
+                        s -= 1
+                    if s < i:
+                        pos = m.end()
+                        # last subdomain >=2 BYTES (naive_email_miner.c:105-112)
+                        if len(m.group("last").encode("utf-8")) >= 2:
+                            yield Occurrence(s, pos, self.label, 1.0)
+            i = text.find("@", i + 1)
 
 
 class UrlMiner(PatternMiner):

@@ -154,21 +154,27 @@ class GazetteerMiner(Miner):
 
     def _candidates(self, text: str) -> list[tuple[int, int, str]]:
         """Candidate (start, end, token) spans in scan order."""
-        delim_match = self.delim_re.match
-        runs = [(m.start(), m.end()) for m in self.token_re.finditer(text)]
-        out: list[tuple[int, int, str]] = []
-        for s, e in runs:
-            if s == 0 and delim_match(text, 0):
-                s = 1  # BOF Left-delimiter consume strips one char
-                if s >= e:
-                    continue
-            out.append((s, e, text[s:e]))
-            if self.mode == "boundary":
-                # suffixes after each leading/internal delimiter char (ADVICE r1)
+        out = [
+            (m.start(), m.end(), m.group())
+            for m in self.token_re.finditer(text)
+        ]
+        # BOF Left-delimiter consume strips one char of a run at offset 0
+        if out and out[0][0] == 0 and self.delim_re.match(text, 0):
+            e = out[0][1]
+            if e > 1:
+                out[0] = (1, e, text[1:e])
+            else:
+                out.pop(0)
+        if self.mode == "boundary":
+            # suffixes after each leading/internal delimiter char (ADVICE r1)
+            with_suffixes: list[tuple[int, int, str]] = []
+            for s, e, tok in out:
+                with_suffixes.append((s, e, tok))
                 for m in self.delim_re.finditer(text, s, e - 1):
                     cs = m.end()
                     if cs > s:
-                        out.append((cs, e, text[cs:e]))
+                        with_suffixes.append((cs, e, text[cs:e]))
+            return with_suffixes
         return out
 
     def _token_matches(self, tokens: set[str]) -> set[str]:
