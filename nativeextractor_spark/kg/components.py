@@ -54,13 +54,42 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
+def _driver_union_find(pairs: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Path-compressed union-find; component id = min node id."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in pairs:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by min so the root IS the component id
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo
+    return [(x, find(x)) for x in parent]
+
+
 def connected_components(
-    edges: DataFrame, max_iterations: int = 20
+    edges: DataFrame, max_iterations: int = 20, driver_threshold: int = 100_000
 ) -> DataFrame:
     """edges(u long, v long) → (node long, component long).
 
     Isolated nodes (self-loops or u==v rows) are preserved as their own
     component.
+
+    Size-adaptive: below ``driver_threshold`` distinct edges the O(log n)
+    star rounds cost more in fixed per-job overhead than the data is worth —
+    a driver-side union-find over the (tiny) edge list replaces ~2·rounds
+    Spark jobs with one collect. Above it, the distributed large-star /
+    small-star alternation runs as before (the 100 TB path; entity-graph
+    edges are distinct-surface pairs, orders of magnitude smaller than the
+    corpus, but can still be billions — hence both).
     """
     cur = edges.select("u", "v").where(F.col("u") != F.col("v")).distinct()
     singletons = (
@@ -68,6 +97,20 @@ def connected_components(
         .union(edges.select(F.col("v").alias("node")))
         .distinct()
     )
+
+    cur = cur.localCheckpoint(eager=True)
+    if cur.count() <= driver_threshold:
+        spark = edges.sparkSession
+        pairs = [(r.u, r.v) for r in cur.collect()]
+        membership = spark.createDataFrame(
+            _driver_union_find(pairs) or [(None, None)],
+            "node long, component long",
+        ).where(F.col("node").isNotNull())
+        roots = singletons.join(
+            membership.select("node"), "node", "left_anti"
+        ).select("node", F.col("node").alias("component"))
+        return membership.union(roots)
+
     def _sig(df: DataFrame) -> tuple:
         # one-job fixpoint signature: both sides are distinct edge sets, so
         # (count, xor-of-hashes) equality is a reliable set-equality check
@@ -78,7 +121,6 @@ def connected_components(
         ).first()
         return (row.n, row.h)
 
-    cur = cur.localCheckpoint(eager=True)
     cur_sig = _sig(cur)
     for _ in range(max_iterations):
         after_large = _large_star(cur)

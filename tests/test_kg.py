@@ -125,3 +125,25 @@ def test_generate_pages_deterministic(spark):
     assert len(urls) == 50
     hot = sum("popular.example" in u or "news.example" in u or "portal" in u for u in urls)
     assert hot > 0  # skewed domains present
+
+
+def test_cc_driver_and_distributed_paths_agree(spark):
+    """Size-adaptive CC: the driver union-find (small graphs) and the
+    large-star/small-star rounds must produce identical memberships."""
+    import random
+
+    from nativeextractor_spark.kg.components import connected_components
+
+    rng = random.Random(9)
+    edges = [(rng.randint(0, 60), rng.randint(0, 60)) for _ in range(120)]
+    edges += [(200, 200), (300, 301)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    small = {
+        (r.node, r.component)
+        for r in connected_components(df, driver_threshold=10**6).collect()
+    }
+    big = {
+        (r.node, r.component)
+        for r in connected_components(df, driver_threshold=0).collect()
+    }
+    assert small == big and len(small) > 0
