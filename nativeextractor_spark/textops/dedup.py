@@ -83,6 +83,11 @@ def minhash_bands(
         hash_fn = lambda s: F.xxhash64(F.col("band"), s)
     else:
         raise ValueError(f"unknown hash_flavor {hash_flavor!r}")
+    # NOTE the explode-then-hash shape is deliberate: the GenerateExec
+    # materializes the shingle array once per document and the per-band rows
+    # reference it. Computing all band minhashes in one projection reads
+    # nicer but CollapseProject inlines the (expensive) shingling expression
+    # into every band column — 4x the split/join work, measured 4-5x slower.
     return (
         df.select(F.col(id_col).alias("doc_id"), sh.alias("shingles"))
         .select("doc_id", F.explode(bands).alias("band"), "shingles")
