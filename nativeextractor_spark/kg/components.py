@@ -37,19 +37,26 @@ def _large_star(edges: DataFrame) -> DataFrame:
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
-    """Orient edges high→low; connect each low neighbor (and u) to the min."""
+    """Orient edges high→low; connect each low neighbor (and u) to the min.
+
+    Deliberately join-based, NOT ``collect_set``: a hot component root would
+    funnel its entire (possibly huge) neighbor set into one reducer's
+    aggregation state, which nothing can split. As a join, min-per-key is
+    algebraic (map-side partial) and AQE's skew-join splitting can shard the
+    hot key's probe side across tasks.
+    """
     directed = edges.select(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
     ).where(F.col("u") != F.col("v"))
-    grouped = directed.groupBy("u").agg(
-        F.min("v").alias("m"), F.collect_set("v").alias("nbrs")
-    )
-    exploded = grouped.select(
-        "u", "m", F.explode(F.array_union("nbrs", F.array("u"))).alias("v")
-    )
-    return (
-        exploded.where(F.col("v") != F.col("m"))
+    mins = directed.groupBy("u").agg(F.min("v").alias("m"))
+    nbr_edges = (
+        directed.join(mins, "u")
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    self_edges = mins.select(F.col("u"), F.col("m").alias("v"))
+    return (
+        nbr_edges.unionByName(self_edges)
+        .where(F.col("u") != F.col("v"))
         .distinct()
     )
 

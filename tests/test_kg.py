@@ -147,3 +147,26 @@ def test_cc_driver_and_distributed_paths_agree(spark):
         for r in connected_components(df, driver_threshold=0).collect()
     }
     assert small == big and len(small) > 0
+
+
+def test_salted_collect_set_equals_direct(spark):
+    """Two-phase salted collect_set == direct collect_set (set semantics),
+    with a deliberately hot key."""
+    from pyspark.sql import functions as F
+
+    from nativeextractor_spark.kg.skew import salted_collect_set
+
+    rows = [("hot", i % 37) for i in range(5000)] + [
+        ("cold%d" % i, i) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "k string, v long")
+    salted = {
+        r.k: frozenset(r.values)
+        for r in salted_collect_set(df, ["k"], "v").collect()
+    }
+    direct = {
+        r.k: frozenset(r.vs)
+        for r in df.groupBy("k").agg(F.collect_set("v").alias("vs")).collect()
+    }
+    assert salted == direct
+    assert len(salted["hot"]) == 37
