@@ -148,6 +148,10 @@ def _headline(spark, sf: float) -> dict[str, float]:
             triples.where(F.col("obj_type") == "NER")
             .select(F.col("obj").alias("surface"))
         )
+        # narrow-merge the 2x500 tiny cached partitions before the distinct's
+        # map side: same plan shape at scale, without paying ~1000 task
+        # launches per pass over a 50k-page cache
+        .coalesce(4 * CPUS)
         .distinct()
     )
     timed("canonicalize", lambda: canonicalize_surfaces(surfaces).count())
