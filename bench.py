@@ -104,8 +104,13 @@ def _warm_workers(spark, cpus: int) -> None:
 
     def k(batches):
         from nativeextractor_spark.functions.unicode import class_mask
+        from nativeextractor_spark.kg.pipeline import default_kg_miners
 
         class_mask("delim")
+        # compile every default miner + build its lookup tables in this
+        # worker process (first-batch cost a long-lived executor pays once)
+        for m in default_kg_miners():
+            list(m.find("warm a@b.cd http://x.io 2020-01-02 spark"))
         for pdf in batches:
             yield pd.DataFrame({"n": [len(pdf)]})
 
