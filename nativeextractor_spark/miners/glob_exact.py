@@ -317,8 +317,47 @@ def match_glob_impl(m: _Cursor, glob: str):
     return m.make_occurrence()
 
 
-def reference_glob_scan(text: str, glob: str) -> list[tuple[int, int]]:
-    """Full extractor scan loop (whole document, one miner)."""
+@_lru_cache(maxsize=4096)
+def _candidate_re(glob: str):
+    """Prefilter regex whose matches are the only attempt positions that can
+    get past the glob's FIRST element — or None when no prefilter applies.
+
+    Soundness: for a non-delimiter-starting glob, the machine's entry skips
+    the delimiter run, so the examined content char is always the first
+    non-delimiter after a delimiter (or BOF) — the ``(?:\\A|(?<=[delim]))``
+    anchor. An attempt whose first element fails at that char retnuls to one
+    past the NEXT delimiter, i.e. the guard never overshoots the next
+    anchored candidate — so skipping first-element-rejected candidates is
+    state-identical to attempting them. ONE exception exists: a failed
+    mid-star rest recursion can leak its mark_end, parking the guard at an
+    UNanchored position the naive walk would attempt; the scan loop handles
+    that by attempting such positions literally (see reference_glob_scan).
+    Star-first globs (unconstrained first char) and delimiter-starting
+    globs (no entry skip; includes every set-starting glob via the
+    raw-'[' quirk) get no prefilter.
+    """
+    if not glob or glob[0] == "*" or _starts_with_delimiter(glob):
+        return None
+    from nativeextractor_spark.functions.unicode import class_body
+    from nativeextractor_spark.miners.base import compile_cached
+
+    d = class_body("delim")
+    if glob[0] == "?":
+        accept = f"[^{d}]"
+    else:
+        ch = glob[1] if glob[0] == "\\" and len(glob) > 1 else glob[0]
+        variants = {v for v in (ch.lower(), ch.upper()) if len(v) == 1}
+        if not variants:
+            return None
+        from nativeextractor_spark.miners.glob import _escape_in_class
+
+        accept = "[" + "".join(_escape_in_class(v) for v in sorted(variants)) + "]"
+    return compile_cached(f"(?:\\A|(?<=[{d}])){accept}")
+
+
+def _reference_glob_scan_naive(text: str, glob: str) -> list[tuple[int, int]]:
+    """The literal per-position extractor loop — kept as the semantics
+    reference that the prefiltered scan is property-tested against."""
     out: list[tuple[int, int]] = []
     n = len(text)
     pos = 0
@@ -338,6 +377,39 @@ def reference_glob_scan(text: str, glob: str) -> list[tuple[int, int]]:
             # below the guard nothing can be attempted — jumping straight to
             # it is step-for-step equivalent to the C loop's pos += 1 walk
             pos = guard
+    return out
+
+
+def reference_glob_scan(text: str, glob: str) -> list[tuple[int, int]]:
+    """Full extractor scan loop (whole document, one miner): candidate
+    positions from one C-speed prefilter pass where sound (see
+    :func:`_candidate_re`), the literal walk otherwise."""
+    cand = _candidate_re(glob)
+    if cand is None:
+        return _reference_glob_scan_naive(text, glob)
+    out: list[tuple[int, int]] = []
+    search = cand.search
+    n = len(text)
+    end_last = 0
+    guard = 0
+    pos = 0
+    while pos < n:
+        if pos > 0 and not is_delimiter(text[pos - 1]):
+            # unanchored attempt position (mid-star end-mark leak): the
+            # naive walk attempts here, so must we — literally
+            p = pos
+        else:
+            hit = search(text, pos)
+            if hit is None:
+                return out
+            p = hit.start()
+        m = _Cursor(text, p, end_last)
+        occ = match_glob_impl(m, glob)
+        if occ is not None:
+            out.append(occ)
+            end_last = occ[1]
+        guard = max(m.end if m.end is not None else 0, m.pos, end_last)
+        pos = max(p + 1, guard)
     return out
 
 

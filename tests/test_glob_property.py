@@ -129,3 +129,23 @@ def test_auto_engine_matches_exact_on_any_text(text, glob):
     auto = _spans(GlobMiner(glob), text)
     exact = _spans(GlobMiner(glob, engine="exact"), text)
     assert auto == exact, f"text={text!r} glob={glob!r}"
+
+
+@settings(max_examples=400, deadline=None)
+@given(
+    text=st.text(alphabet="abcABC .x-\\?*[", min_size=0, max_size=45),
+    glob=any_globs(),
+)
+def test_prefiltered_scan_equals_naive_walk(text, glob):
+    """The candidate-prefiltered exact scan must be span-identical to the
+    literal per-position extractor walk on arbitrary text and globs."""
+    from nativeextractor_spark.miners.glob_exact import (
+        _reference_glob_scan_naive,
+        reference_glob_scan,
+    )
+
+    if not is_glob(glob):
+        return
+    assert reference_glob_scan(text, glob) == _reference_glob_scan_naive(
+        text, glob
+    ), f"text={text!r} glob={glob!r}"
