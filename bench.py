@@ -427,8 +427,19 @@ def _write_baseline_md(sf: float, timings: dict, scaling: dict, n_pages: int):
         "",
         "Sandbox evidence per driver instruction (no real cluster available).",
     ]
+    # preserve hand-maintained sections (run history, notes) below the
+    # generated block — everything from the first "### Run history" on
+    tail = ""
+    try:
+        with open("BENCH/BASELINE.md") as f:
+            old = f.read()
+        idx = old.find("### Run history")
+        if idx != -1:
+            tail = "\n" + old[idx:]
+    except FileNotFoundError:
+        pass
     with open("BENCH/BASELINE.md", "w") as f:
-        f.write("\n".join(lines) + "\n")
+        f.write("\n".join(lines) + "\n" + tail)
 
 
 def main() -> None:
