@@ -113,7 +113,12 @@ def lsh_duplicate_pairs(
     """Near-duplicate candidate pairs: docs sharing ≥ min_shared_bands LSH
     buckets. Oversized buckets are dropped (bounded skew). Returns
     (doc_a, doc_b, shared_bands)."""
-    bands = minhash_bands(df, text_col, id_col, num_hashes, k, hash_flavor, shingle)
+    # materialize the (small: num_hashes rows/doc) band table once — the
+    # bucket sizing, the bounded join, and BOTH self-join sides consume it;
+    # without truncation each re-runs the full shingling/minhash scan
+    bands = minhash_bands(
+        df, text_col, id_col, num_hashes, k, hash_flavor, shingle
+    ).localCheckpoint(eager=True)
     sizes = bands.groupBy("band", "min_hash").agg(F.count("*").alias("_sz"))
     bounded = bands.join(
         sizes.where(F.col("_sz") <= max_bucket).drop("_sz"), ["band", "min_hash"]
