@@ -144,7 +144,9 @@ def canonicalize_surfaces(
 
     # band keys derived JVM-side: xxhash64 over each signature slice (the
     # kernel emits only the raw signature — no per-band Python hashing, and
-    # the shuffle key is a deterministic JVM hash)
+    # the shuffle key is a deterministic JVM hash). Materialized once: the
+    # bucket sizing, the bounded join, and both self-join sides consume it —
+    # without truncation each would re-run the signature kernel.
     bands_df = sig_df.select(
         "norm",
         "surface_id",
@@ -155,7 +157,7 @@ def canonicalize_surfaces(
                 f" {rows_per_band})))"
             )
         ).alias("band", "band_hash"),
-    )
+    ).localCheckpoint(eager=True)
 
     # skew bound: drop LSH buckets above max_bucket (counted, not silent)
     bucket_sizes = bands_df.groupBy("band", "band_hash").agg(

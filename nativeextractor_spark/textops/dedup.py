@@ -215,9 +215,11 @@ def ngram_jaccard_pairs(
         )
     )
     freq = grams.groupBy("gram").agg(F.countDistinct("doc_id").alias("_df"))
+    # materialize the stop-listed gram table once — sizes and BOTH self-join
+    # sides consume it (3x the gram scan otherwise)
     grams = grams.join(
         freq.where(F.col("_df") <= max_token_freq).drop("_df"), "gram"
-    )
+    ).localCheckpoint(eager=True)
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     a = grams.select(F.col("doc_id").alias("doc_a"), "gram")
     b = grams.select(F.col("doc_id").alias("doc_b"), "gram")
