@@ -88,6 +88,25 @@ def _batch_signatures(norms: list[str], a: np.ndarray, b: np.ndarray) -> np.ndar
     return np.minimum.reduceat(permuted, offsets, axis=1).T
 
 
+def _band_keys(sig_df: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(norm, surface_id, sig) → (norm, surface_id, band, band_hash): band
+    keys are xxhash64 over each signature slice, derived entirely JVM-side
+    (the kernel emits only the raw signature — no per-band Python hashing,
+    and the shuffle key is a deterministic JVM hash). Plan-asserted in
+    tests/test_plans.py."""
+    return sig_df.select(
+        "norm",
+        "surface_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}),"
+                f" b -> xxhash64(b, slice(sig, b * {rows_per_band} + 1,"
+                f" {rows_per_band})))"
+            )
+        ).alias("band", "band_hash"),
+    )
+
+
 def canonicalize_surfaces(
     surfaces: DataFrame,
     *,
@@ -142,22 +161,12 @@ def canonicalize_surfaces(
         )
     )
 
-    # band keys derived JVM-side: xxhash64 over each signature slice (the
-    # kernel emits only the raw signature — no per-band Python hashing, and
-    # the shuffle key is a deterministic JVM hash). Materialized once: the
+    # band keys derived JVM-side (see _band_keys). Materialized once: the
     # bucket sizing, the bounded join, and both self-join sides consume it —
     # without truncation each would re-run the signature kernel.
-    bands_df = sig_df.select(
-        "norm",
-        "surface_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}),"
-                f" b -> xxhash64(b, slice(sig, b * {rows_per_band} + 1,"
-                f" {rows_per_band})))"
-            )
-        ).alias("band", "band_hash"),
-    ).localCheckpoint(eager=True)
+    bands_df = _band_keys(sig_df, bands, rows_per_band).localCheckpoint(
+        eager=True
+    )
 
     # skew bound: drop LSH buckets above max_bucket (counted, not silent)
     bucket_sizes = bands_df.groupBy("band", "band_hash").agg(

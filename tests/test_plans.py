@@ -80,3 +80,19 @@ def test_wholestage_codegen_on_sql_path(spark, pages_path):
     # codegen spans print as "*(n) Operator" in the final adaptive plan
     plan = _plan(agg)
     assert "*(1)" in plan or "WholeStageCodegen" in plan
+
+
+def test_canonicalize_band_keys_are_jvm_side(spark):
+    """The LSH band keys must come from JVM xxhash64 over signature slices —
+    the only Python in the band derivation is the signature kernel itself
+    (one MapInPandas node), never a per-band Python hash or row UDF."""
+    from nativeextractor_spark.kg.canonicalize import _band_keys
+
+    sig_df = spark.createDataFrame(
+        [("acme", 1, [1, 2, 3, 4])],
+        "norm string, surface_id long, sig array<bigint>",
+    )
+    plan = _plan(_band_keys(sig_df, bands=2, rows_per_band=2))
+    assert "xxhash64" in plan
+    assert "Generate" in plan  # posexplode of the per-band key array
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
