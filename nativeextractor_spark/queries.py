@@ -633,6 +633,54 @@ FROM sig
 """
 
 
+def q_simhash_dup_pairs(spark, sf_dir):
+    from nativeextractor_spark.textops import simhash_duplicate_pairs
+
+    return simhash_duplicate_pairs(
+        _docs_with_dups(spark, sf_dir).where((F.col("doc_id") % 100000) < 60)
+    )
+
+
+O_SIMHASH_DUP_PAIRS = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS t
+  FROM {_DOCS_WITH_DUPS_SQL} WHERE doc_id % 100000 < 60
+),
+h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS hv FROM toks),
+votes AS (
+  SELECT doc_id, b AS bit,
+         sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM h, (SELECT unnest(range(64)) AS b)
+  GROUP BY doc_id, b
+),
+sig0 AS (
+  SELECT doc_id,
+         sum(CASE WHEN vote > 0 THEN (1::HUGEINT << bit) ELSE 0::HUGEINT END) AS s
+  FROM votes GROUP BY doc_id
+),
+sig AS (
+  SELECT doc_id,
+         CASE WHEN s >= 9223372036854775808::HUGEINT
+              THEN (s - 18446744073709551616::HUGEINT)::BIGINT
+              ELSE s::BIGINT END AS simhash
+  FROM sig0
+),
+chunks AS (
+  SELECT doc_id, simhash, c AS chunk_id,
+         (simhash >> (c * 16)::int) & 65535 AS chunk
+  FROM sig, (SELECT unnest(range(4)) AS c)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sa,
+                  b.doc_id AS doc_b, b.simhash AS sb
+  FROM chunks a JOIN chunks b
+    ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, cast(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+FROM pairs WHERE bit_count(xor(sa, sb)) <= 3
+"""
+
+
 def q_ann_topk(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.where(F.col("vec_id") < 3).select(
@@ -1118,6 +1166,7 @@ QUERIES = {
     "lsh_dup_pairs": q_lsh_dup_pairs,
     "ngram_jaccard": q_ngram_jaccard,
     "simhash": q_simhash,
+    "simhash_dup_pairs": q_simhash_dup_pairs,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
@@ -1167,6 +1216,7 @@ def build_oracles() -> dict[str, str]:
         "anti_join_new_nodes": O_ANTI_JOIN_NEW_NODES,
         "event_sessions": O_EVENT_SESSIONS,
         "simhash": O_SIMHASH,
+        "simhash_dup_pairs": O_SIMHASH_DUP_PAIRS,
         "ann_lsh": O_ANN_LSH,
         "ann_ivf": O_ANN_IVF,
         "multimodal_features": O_MULTIMODAL_FEATURES,

@@ -3,6 +3,7 @@ from nativeextractor_spark.textops.dedup import (
     minhash_bands,
     lsh_duplicate_pairs,
     simhash,
+    simhash_duplicate_pairs,
     ngram_jaccard_pairs,
 )
 from nativeextractor_spark.textops.similarity import (
@@ -21,6 +22,7 @@ __all__ = [
     "minhash_bands",
     "lsh_duplicate_pairs",
     "simhash",
+    "simhash_duplicate_pairs",
     "ngram_jaccard_pairs",
     "cosine_topk_bruteforce",
     "cosine_topk_lsh",

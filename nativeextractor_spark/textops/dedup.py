@@ -241,3 +241,70 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def simhash_duplicate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_chunks: int = 4,
+    token_hash: str = "md5",
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole blocking: the 64-bit signature splits into ``n_chunks``
+    bit-chunks; any pair differing in fewer than ``n_chunks`` bits shares at
+    least one IDENTICAL chunk, so for ``max_hamming < n_chunks`` the chunk
+    equi-join finds EVERY qualifying pair — exact, never all-pairs.
+    Oversized chunk buckets are dropped (the standard skew cap; a dropped
+    bucket is a documented recall loss, never an OOM). Verification is
+    ``bit_count(xor)`` — pure JVM. Returns (doc_a, doc_b, hamming).
+    """
+    if max_hamming >= n_chunks:
+        raise ValueError("pigeonhole blocking needs max_hamming < n_chunks")
+    width = 64 // n_chunks
+    mask = (1 << width) - 1
+    sigs = simhash(df, text_col, id_col, token_hash=token_hash).localCheckpoint(
+        eager=True
+    )
+    chunks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(f"shiftright(simhash, {i * width}) & {mask}")
+                    for i in range(n_chunks)
+                ]
+            )
+        ).alias("chunk_id", "chunk"),
+    )
+    sizes = chunks.groupBy("chunk_id", "chunk").agg(F.count("*").alias("_sz"))
+    bounded = chunks.join(
+        sizes.where(F.col("_sz") <= max_bucket).drop("_sz"),
+        ["chunk_id", "chunk"],
+    )
+    a = bounded.select(
+        "chunk_id", "chunk",
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("_sa"),
+    )
+    b = bounded.select(
+        "chunk_id", "chunk",
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("_sb"),
+    )
+    pairs = (
+        a.join(b, ["chunk_id", "chunk"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "_sa", "_sb")
+        .distinct()
+    )
+    return (
+        pairs.withColumn(
+            "hamming",
+            F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).cast("int"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

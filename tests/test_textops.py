@@ -198,3 +198,36 @@ def test_word_shingles_whitespace_invariant(spark):
     for r in rows:
         sig.setdefault(r.doc_id, {})[r.band] = r.min_hash
     assert sig[0] == sig[1]
+
+
+def test_simhash_duplicate_pairs_pigeonhole_exact(spark):
+    """Chunk blocking must find EVERY pair with hamming <= max_hamming
+    (pigeonhole: <4 differing bits can't touch all 4 chunks) — verified
+    against the all-pairs computation."""
+    from itertools import combinations
+
+    from nativeextractor_spark.textops import simhash, simhash_duplicate_pairs
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup
+        (2, "the quick brown fox jumps over the lazy cat"),  # near dup
+        (3, "completely different text with other words entirely"),
+        (4, "the quick brown fox leaps over the lazy dog"),  # near dup
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_duplicate_pairs(df, max_hamming=3).collect()
+    }
+    sigs = {r.doc_id: r.simhash for r in simhash(df).collect()}
+    want = {
+        (a, b, bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1"))
+        for a, b in combinations(sorted(sigs), 2)
+        if bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1") <= 3
+    }
+    assert got == want
+    assert (0, 1, 0) in got  # exact dup at hamming 0
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_duplicate_pairs(df, max_hamming=4, n_chunks=4)
