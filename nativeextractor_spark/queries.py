@@ -800,6 +800,44 @@ SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5
 """
 
 
+def q_embedding_dup_pairs(spark, sf_dir):
+    from nativeextractor_spark.textops.similarity import embedding_duplicate_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_duplicate_pairs(emb, threshold=0.2, n_planes=6, dim=64)
+
+
+def _embedding_dup_oracle_sql() -> str:
+    """Mirror of embedding_duplicate_pairs: same seed-42 hyperplane buckets
+    inlined as literals, same bucketed self-join + exact cosine verify."""
+    from nativeextractor_spark.textops.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim=64, n_planes=6, seed=42)
+    terms = []
+    for p in range(planes.shape[0]):
+        lit = "[" + ", ".join(repr(float(x)) for x in planes[p]) + "]::DOUBLE[]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(ve, {lit}) >= 0"
+            f" THEN {1 << p} ELSE 0 END)"
+        )
+    bucket = "(" + " + ".join(terms) + ")"
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+b AS (SELECT vec_id, ve, {bucket} AS bucket FROM v),
+pairs AS (
+  SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+         round(list_dot_product(a.ve, b2.ve)
+               / (sqrt(list_dot_product(a.ve, a.ve))
+                  * sqrt(list_dot_product(b2.ve, b2.ve))), 6) AS cosine
+  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+)
+SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.2
+"""
+
+
+O_EMBEDDING_DUP_PAIRS = _embedding_dup_oracle_sql()
+
+
 def q_lang_id(spark, sf_dir):
     return language_id(_docs(spark, sf_dir))
 
@@ -1170,6 +1208,7 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
+    "embedding_dup_pairs": q_embedding_dup_pairs,
     "lang_id": q_lang_id,
     "quality": q_quality,
     "token_counts": q_token_counts,
@@ -1219,5 +1258,6 @@ def build_oracles() -> dict[str, str]:
         "simhash_dup_pairs": O_SIMHASH_DUP_PAIRS,
         "ann_lsh": O_ANN_LSH,
         "ann_ivf": O_ANN_IVF,
+        "embedding_dup_pairs": O_EMBEDDING_DUP_PAIRS,
         "multimodal_features": O_MULTIMODAL_FEATURES,
     }

@@ -221,3 +221,68 @@ def cosine_topk_ivf(
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
     )
+
+
+def embedding_duplicate_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: vectors sharing a
+    random-hyperplane sign bucket, verified with exact cosine ≥ threshold.
+
+    The bucketed self-join replaces the all-pairs cross product (near-dups
+    almost always share all sign bits); oversized buckets are dropped
+    (skew cap). Returns (id_a, id_b, cosine)."""
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    def bucket_expr(col):
+        bits = []
+        for p in range(n_planes):
+            proj = F.aggregate(
+                F.zip_with(
+                    col,
+                    F.array(*[F.lit(float(x)) for x in planes[p]]),
+                    lambda x, y: x.cast("double") * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+        out = F.lit(0)
+        for b in bits:
+            out = out + b
+        return out
+
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_v"),
+        bucket_expr(F.col(vec_col)).alias("bucket"),
+    ).localCheckpoint(eager=True)
+    sizes = v.groupBy("bucket").agg(F.count("*").alias("_sz"))
+    bounded = v.join(sizes.where(F.col("_sz") <= max_bucket).drop("_sz"), "bucket")
+    a = bounded.select(
+        "bucket", F.col("vec_id").alias("id_a"), F.col("_v").alias("_va")
+    )
+    b = bounded.select(
+        "bucket", F.col("vec_id").alias("id_b"), F.col("_v").alias("_vb")
+    )
+    return (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("_va"), F.col("_vb"))
+                / (_norm(F.col("_va")) * _norm(F.col("_vb"))),
+                6,
+            ),
+        )
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

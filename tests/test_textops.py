@@ -231,3 +231,23 @@ def test_simhash_duplicate_pairs_pigeonhole_exact(spark):
 
     with pytest.raises(ValueError, match="pigeonhole"):
         simhash_duplicate_pairs(df, max_hamming=4, n_chunks=4)
+
+
+def test_embedding_duplicate_pairs(spark):
+    """Near-identical vectors land in the same sign bucket and pass the
+    cosine verify; orthogonal vectors never pair."""
+    from nativeextractor_spark.textops.similarity import embedding_duplicate_pairs
+
+    rng = np.random.RandomState(1)
+    base = rng.standard_normal(64).astype("float32")
+    rows = [(0, base.tolist()), (1, (base * 1.001 + 0.0005).tolist())] + [
+        (i, rng.standard_normal(64).astype("float32").tolist())
+        for i in range(2, 40)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_duplicate_pairs(vecs, threshold=0.95).collect()
+    }
+    assert (0, 1) in got and got[(0, 1)] > 0.999
+    assert all(a == 0 and b == 1 for a, b in got)  # no spurious pairs at 0.95
