@@ -940,6 +940,37 @@ FROM documents
 # --------------------------------------------------------------------------
 
 
+def q_winnow_fp(spark, sf_dir):
+    from nativeextractor_spark.textops.quality import winnow_fingerprints
+
+    return winnow_fingerprints(
+        _docs(spark, sf_dir).where(F.col("doc_id") < 50), k=5, window=4
+    )
+
+
+O_WINNOW_FP = """
+WITH d AS (
+  SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
+  FROM documents WHERE doc_id < 50
+),
+g AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(length(t) - 4, 1) + 1),
+                        i -> substring(md5(substring(t, i::int, 5)), 1, 16))
+           AS grams
+  FROM d
+),
+m AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(grams) - 3, 1) + 1),
+           i -> list_min(list_slice(grams, i, i + 3)))) AS fps
+  FROM g
+)
+SELECT DISTINCT doc_id, unnest(fps) AS fp FROM m
+"""
+
+
 def q_tpch_q1(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     dec = lambda c: F.col(c).cast("decimal(18,2)")
@@ -1213,6 +1244,7 @@ QUERIES = {
     "quality": q_quality,
     "token_counts": q_token_counts,
     "fingerprint": q_fingerprint,
+    "winnow_fp": q_winnow_fp,
     "tpch_q1": q_tpch_q1,
     "tpch_q3_topk": q_tpch_q3_topk,
     "events_window": q_events_window,
@@ -1248,6 +1280,7 @@ def build_oracles() -> dict[str, str]:
         "quality": O_QUALITY,
         "token_counts": O_TOKEN_COUNTS,
         "fingerprint": O_FINGERPRINT,
+        "winnow_fp": O_WINNOW_FP,
         "tpch_q1": O_TPCH_Q1,
         "tpch_q3_topk": O_TPCH_Q3_TOPK,
         "events_window": O_EVENTS_WINDOW,

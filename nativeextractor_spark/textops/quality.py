@@ -111,3 +111,37 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.md5(norm).alias("fp_md5"),
         F.xxhash64(norm).alias("fp_xx64"),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    rolling-hash technique): hash every k-char gram of the normalized text,
+    then keep the minimum hash of each ``window`` consecutive grams — any
+    shared substring of length >= k + window - 1 between two documents is
+    GUARANTEED to share a selected fingerprint.
+
+    Engine-portable hash ordering: the per-gram hash is the first 16 hex
+    chars of md5 — fixed-width lowercase hex, so lexicographic MIN equals
+    numeric MIN of the unsigned value in Spark and DuckDB alike. Everything
+    is JVM expressions (transform/slice/array_min); returns distinct
+    (doc_id, fp) rows.
+    """
+    norm = f"regexp_replace(trim(lower({text_col})), '\\\\s+', ' ')"
+    grams = (
+        f"transform(sequence(1, greatest(length({norm}) - {k - 1}, 1)),"
+        f" i -> substring(md5(substring({norm}, i, {k})), 1, 16))"
+    )
+    mins = (
+        f"array_distinct(transform("
+        f"sequence(1, greatest(size({grams}) - {window - 1}, 1)),"
+        f" i -> array_min(slice({grams}, i, {window}))))"
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.explode(F.expr(mins)).alias("fp")
+    ).distinct()

@@ -251,3 +251,21 @@ def test_embedding_duplicate_pairs(spark):
     }
     assert (0, 1) in got and got[(0, 1)] > 0.999
     assert all(a == 0 and b == 1 for a, b in got)  # no spurious pairs at 0.95
+
+
+def test_winnow_fingerprints_guarantee(spark):
+    """Winnowing guarantee: docs sharing a substring of length >= k+w-1
+    (here 8) share at least one selected fingerprint; disjoint docs don't."""
+    from nativeextractor_spark.textops.quality import winnow_fingerprints
+
+    rows = [
+        (0, "aaaa sharedrun bbbb"),
+        (1, "cccc sharedrun dddd"),  # shares "sharedrun" (9 >= 5+4-1)
+        (2, "zzzz qqqq wwww eeee"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {}
+    for r in winnow_fingerprints(df, k=5, window=4).collect():
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    assert fps[0] & fps[1]
+    assert not (fps[0] & fps[2]) and not (fps[1] & fps[2])
