@@ -940,6 +940,54 @@ FROM documents
 # --------------------------------------------------------------------------
 
 
+def q_gopher_filters(spark, sf_dir):
+    from nativeextractor_spark.textops.quality import gopher_quality_filters
+
+    return gopher_quality_filters(_docs(spark, sf_dir))
+
+
+O_GOPHER_FILTERS = """
+WITH d AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         list_sum(list_transform(toks, t -> length(t))) AS chars_in_words,
+         len(list_filter(toks, t -> contains(t, '#')
+                                 OR contains(t, '...'))) AS n_symbols,
+         len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]'))) AS n_alpha,
+         len(list_filter(toks, t -> list_contains(
+           ['the','be','to','of','and','that','have','with'], t))) AS n_stop
+  FROM d
+),
+r AS (
+  SELECT doc_id, n_words,
+         floor(chars_in_words * 1000000.0 / greatest(n_words, 1)) / 1000000
+           AS mean_word_len,
+         floor(n_symbols * 1000000.0 / greatest(n_words, 1)) / 1000000
+           AS symbol_ratio,
+         floor(n_alpha * 1000000.0 / greatest(n_words, 1)) / 1000000
+           AS alpha_word_ratio,
+         n_stop AS n_stopwords,
+         (n_words BETWEEN 50 AND 100000) AS ok_word_count,
+         (chars_in_words * 1.0 / greatest(n_words, 1) BETWEEN 3 AND 10)
+           AS ok_mean_word_len,
+         (n_symbols * 1.0 / greatest(n_words, 1) <= 0.1) AS ok_symbol_ratio,
+         (n_alpha * 1.0 / greatest(n_words, 1) >= 0.8) AS ok_alpha_words,
+         (n_stop >= 2) AS ok_stopwords
+  FROM m
+)
+SELECT doc_id, cast(n_words AS int) AS n_words, mean_word_len, symbol_ratio,
+       alpha_word_ratio, cast(n_stopwords AS int) AS n_stopwords,
+       ok_word_count, ok_mean_word_len, ok_symbol_ratio, ok_alpha_words,
+       ok_stopwords,
+       (ok_word_count AND ok_mean_word_len AND ok_symbol_ratio
+        AND ok_alpha_words AND ok_stopwords) AS gopher_pass
+FROM r
+"""
+
+
 def q_winnow_fp(spark, sf_dir):
     from nativeextractor_spark.textops.quality import winnow_fingerprints
 
@@ -1245,6 +1293,7 @@ QUERIES = {
     "token_counts": q_token_counts,
     "fingerprint": q_fingerprint,
     "winnow_fp": q_winnow_fp,
+    "gopher_filters": q_gopher_filters,
     "tpch_q1": q_tpch_q1,
     "tpch_q3_topk": q_tpch_q3_topk,
     "events_window": q_events_window,
@@ -1281,6 +1330,7 @@ def build_oracles() -> dict[str, str]:
         "token_counts": O_TOKEN_COUNTS,
         "fingerprint": O_FINGERPRINT,
         "winnow_fp": O_WINNOW_FP,
+        "gopher_filters": O_GOPHER_FILTERS,
         "tpch_q1": O_TPCH_Q1,
         "tpch_q3_topk": O_TPCH_Q3_TOPK,
         "events_window": O_EVENTS_WINDOW,

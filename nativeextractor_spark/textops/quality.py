@@ -145,3 +145,55 @@ def winnow_fingerprints(
     return df.select(
         F.col(id_col).alias("doc_id"), F.explode(F.expr(mins)).alias("fp")
     ).distinct()
+
+
+def gopher_quality_filters(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, public) as
+    boolean flags + overall pass — the standard pre-training web filter set.
+    Pure SQL expressions (whole-stage codegen).
+
+    Rules: word count in [50, 100k]; mean word length in [3, 10]; symbol-
+    to-word ratio (# or ellipsis) <= 0.1; >=80% of words contain an
+    alphabetic char; >=2 common-English stopwords present.
+    """
+    toks = _tokens(text_col)
+    n_words = F.size(toks)
+    n_chars_in_words = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    mean_wl = n_chars_in_words / F.greatest(n_words, F.lit(1))
+    n_symbols = F.size(
+        F.filter(toks, lambda t: t.contains("#") | t.contains("..."))
+    )
+    sym_ratio = n_symbols / F.greatest(n_words, F.lit(1))
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
+    alpha_ratio = n_alpha / F.greatest(n_words, F.lit(1))
+    stops = F.array(
+        *[F.lit(w) for w in ["the", "be", "to", "of", "and", "that", "have", "with"]]
+    )
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
+
+    def t6(c):
+        return F.floor(c * 1000000) / 1000000
+
+    ok_words = (n_words >= 50) & (n_words <= 100000)
+    ok_mwl = (mean_wl >= 3) & (mean_wl <= 10)
+    ok_sym = sym_ratio <= 0.1
+    ok_alpha = alpha_ratio >= 0.8
+    ok_stop = n_stop >= 2
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.alias("n_words"),
+        t6(mean_wl).alias("mean_word_len"),
+        t6(sym_ratio).alias("symbol_ratio"),
+        t6(alpha_ratio).alias("alpha_word_ratio"),
+        n_stop.alias("n_stopwords"),
+        ok_words.alias("ok_word_count"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_sym.alias("ok_symbol_ratio"),
+        ok_alpha.alias("ok_alpha_words"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_words & ok_mwl & ok_sym & ok_alpha & ok_stop).alias("gopher_pass"),
+    )

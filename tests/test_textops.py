@@ -269,3 +269,25 @@ def test_winnow_fingerprints_guarantee(spark):
         fps.setdefault(r.doc_id, set()).add(r.fp)
     assert fps[0] & fps[1]
     assert not (fps[0] & fps[2]) and not (fps[1] & fps[2])
+
+
+def test_gopher_filters_rules(spark):
+    """Each Gopher rule must trip on its adversarial document."""
+    from nativeextractor_spark.textops.quality import gopher_quality_filters
+
+    long_good = "the cat sat with the dog and that was good to see " * 8
+    rows = [
+        (0, long_good),  # passes everything
+        (1, "too short to pass the word count rule"),  # < 50 words
+        (2, " ".join(["a"] * 60)),  # mean word length < 3, no stopwords
+        (3, " ".join(["###"] * 30 + ["the", "of", "and"] + ["word"] * 30)),
+        (4, " ".join(["123"] * 60 + ["the", "of"])),  # alpha ratio < 0.8
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in gopher_quality_filters(df).collect()}
+    assert out[0].gopher_pass
+    assert not out[1].ok_word_count
+    assert not out[2].ok_mean_word_len and not out[2].ok_stopwords
+    assert not out[3].ok_symbol_ratio
+    assert not out[4].ok_alpha_words
+    assert all(not out[i].gopher_pass for i in (1, 2, 3, 4))
