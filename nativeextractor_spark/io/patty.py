@@ -257,13 +257,33 @@ class PattyTrie:
         t.lookup = bytearray(blob[_HEADER.size : _HEADER.size + lookup_len])
         if data_len:
             t.data = bytearray(blob[data_offset : data_offset + data_len])
+        body_start = _HEADER.size + lookup_len + data_len
 
         def read_node(off: int) -> _Node:
+            # save() writes postorder (children strictly before parents), so
+            # every child offset must lie in [body_start, off): this rejects
+            # cycles and out-of-bounds offsets in corrupted/crafted files
+            # with a clean error instead of RecursionError/struct.error,
+            # and bounds the recursion (offsets strictly decrease).
+            if off + _NODE.size > size:
+                raise ValueError(
+                    f"corrupt PATTY file: node at {off} exceeds size {size}"
+                )
             terminal, edge_count, ud = _NODE.unpack_from(blob, off)
+            if off + _NODE.size + edge_count * _EDGE.size > size:
+                raise ValueError(
+                    f"corrupt PATTY file: {edge_count} edges at node {off} "
+                    f"exceed size {size}"
+                )
             node = _Node(terminal=bool(terminal), user_data_offset=ud)
             pos = off + _NODE.size
             for _ in range(edge_count):
                 s, l, nxt = _EDGE.unpack_from(blob, pos)
+                if not (body_start <= nxt < off):
+                    raise ValueError(
+                        f"corrupt PATTY file: child offset {nxt} of node "
+                        f"{off} outside postorder range [{body_start}, {off})"
+                    )
                 node.edges.append([s, l, read_node(nxt)])
                 pos += _EDGE.size
             return node
@@ -274,7 +294,14 @@ class PattyTrie:
 
 def load_alias_dict(path: str, payload_size: int = 8):
     """.patty file → :class:`~nativeextractor_spark.miners.ner.AliasDict`
-    (keys + int64-LE payloads when the file carries user data)."""
+    (keys + int64-LE payloads when the file carries user data).
+
+    Supports files whose data section holds one fixed-width payload per
+    terminal, as :func:`save_alias_dict` writes (all-or-none). Files with
+    variable-size user data (possible from the C API, which stores opaque
+    unsized pointers) are not decodable without out-of-band sizes; payload
+    slices falling outside the data section raise instead of misparsing.
+    """
     from nativeextractor_spark.miners.ner import AliasDict
 
     trie = PattyTrie.load(path)
@@ -283,6 +310,12 @@ def load_alias_dict(path: str, payload_size: int = 8):
     for key, ud in trie.items():
         keys.append(key)
         if has_data:
+            if ud + payload_size > len(trie.data):
+                raise ValueError(
+                    f"PATTY user data for key {key!r} at offset {ud} "
+                    f"exceeds data section ({len(trie.data)} bytes); not a "
+                    f"fixed-{payload_size}-byte-payload alias file"
+                )
             raw = bytes(trie.data[ud : ud + payload_size])
             ids.append(int.from_bytes(raw, "little", signed=True))
     return AliasDict.from_aliases(keys, ids if has_data else None)

@@ -95,10 +95,16 @@ class EmailMiner(Miner):
         """'@'-anchored scan, like the reference cursor (which walks LEFT
         from the '@', naive_email_miner.c:29-46): a C-speed ``str.find('@')``
         replaces leading-class regex scanning, which backtracks
-        quadratically on plain text. Semantics identical to searching
-        ``left+@right`` from the last match end: left run = maximal run of
-        left-class chars ending at the '@' (clamped at the previous match
-        end), right context anchored after it."""
+        quadratically on plain text.
+
+        end_last semantics match miner.c exactly: ``pos`` (= end_last)
+        advances ONLY on a successful make_occurrence — a failed attempt
+        (short TLD, validate_domain failure) leaves it unchanged
+        (miner.c:271 runs after the guards), so e.g. 'x@a.b@c.de' still
+        emits 'a.b@c.de'. A maximal left run that would start before
+        end_last fails the whole attempt (mark_start guard, miner.c:36-38;
+        in practice unreachable here because the domain lookahead guarantees
+        text[end_last] is never a left-class char)."""
         left_set = _email_left_set()
         right = self.compiled
         pos = 0
@@ -108,13 +114,17 @@ class EmailMiner(Miner):
                 m = right.match(text, i + 1)
                 if m is not None:
                     s = i
-                    while s > pos and text[s - 1] in left_set:
+                    while s > 0 and text[s - 1] in left_set:
                         s -= 1
-                    if s < i:
+                    # mark_start parity: the maximal run must not cross
+                    # end_last; last subdomain >=2 BYTES
+                    # (naive_email_miner.c:105-112) BEFORE end_last moves
+                    if (
+                        pos <= s < i
+                        and len(m.group("last").encode("utf-8")) >= 2
+                    ):
                         pos = m.end()
-                        # last subdomain >=2 BYTES (naive_email_miner.c:105-112)
-                        if len(m.group("last").encode("utf-8")) >= 2:
-                            yield Occurrence(s, pos, self.label, 1.0)
+                        yield Occurrence(s, pos, self.label, 1.0)
             i = text.find("@", i + 1)
 
 

@@ -462,6 +462,8 @@ def batched_extractor_scan(
     documents (batch = doc) where this is unobservable; this function exists
     for parity audits against a reference binary driven with small batches.
     """
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
     n = len(text)
     miners = [
         {"glob": g, "pos": 0, "pos_last": 0, "end_last": 0, "eof": n == 0}

@@ -175,9 +175,13 @@ def gopher_quality_filters(
     )
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
 
-    def t6(c):
-        return F.floor(c * 1000000) / 1000000
+    def t6_ratio(num, den):
+        # floor(num * 1e6 / den): the SAME association the DuckDB oracle
+        # uses — floor((num/den) * 1e6) can differ by one ulp at floor
+        # boundaries, so both sides must associate identically
+        return F.floor(num * 1000000.0 / den) / 1000000
 
+    den = F.greatest(n_words, F.lit(1))
     ok_words = (n_words >= 50) & (n_words <= 100000)
     ok_mwl = (mean_wl >= 3) & (mean_wl <= 10)
     ok_sym = sym_ratio <= 0.1
@@ -186,9 +190,9 @@ def gopher_quality_filters(
     return df.select(
         F.col(id_col).alias("doc_id"),
         n_words.alias("n_words"),
-        t6(mean_wl).alias("mean_word_len"),
-        t6(sym_ratio).alias("symbol_ratio"),
-        t6(alpha_ratio).alias("alpha_word_ratio"),
+        t6_ratio(n_chars_in_words, den).alias("mean_word_len"),
+        t6_ratio(n_symbols, den).alias("symbol_ratio"),
+        t6_ratio(n_alpha, den).alias("alpha_word_ratio"),
         n_stop.alias("n_stopwords"),
         ok_words.alias("ok_word_count"),
         ok_mwl.alias("ok_mean_word_len"),

@@ -132,3 +132,12 @@ def test_batched_scan_matches_whole_doc_scan():
         (s, e, g) for g in globs for s, e in reference_glob_scan(text, g)
     ]
     assert sorted(batched) == sorted(whole)
+
+
+def test_batched_scan_rejects_nonpositive_batch():
+    import pytest
+
+    from nativeextractor_spark.miners.glob_exact import batched_extractor_scan
+
+    with pytest.raises(ValueError, match="batch_size"):
+        batched_extractor_scan("abc abc", ["abc"], 0)

@@ -182,3 +182,24 @@ def test_gazetteer_prepass_matches_direct(spark):
             map(tuple, extract_occurrences(docs, [resolved]).collect())
         )
         assert r1 == r2 and len(r1) > 0
+
+
+def test_email_end_last_advances_only_on_success():
+    """miner.c:271 — end_last = end happens INSIDE make_occurrence after the
+    guards, so a failed attempt (validate_domain short-TLD fail) leaves
+    end_last unchanged and a later '@' may still use that region as left
+    context: 'x@a.b@c.de' emits 'a.b@c.de' (the first attempt fails on the
+    1-byte 'b' subdomain but must not consume through m.end())."""
+    text = "x@a.b@c.de"
+    occs = list(EmailMiner().find(text))
+    assert [text[o.ustart : o.uend] for o in occs] == ["a.b@c.de"]
+
+
+def test_email_adjacent_at_signs_no_clamped_emission():
+    """mark_start parity (miner.c:36-38): a left run that would cross the
+    previous occurrence's end fails the attempt rather than emitting a
+    clamped occurrence."""
+    text = "a@b.cdx@y.zw"
+    occs = list(EmailMiner().find(text))
+    # the greedy domain consumes 'b.cdx'; the second '@' has no left room
+    assert [text[o.ustart : o.uend] for o in occs] == ["a@b.cdx"]

@@ -91,3 +91,59 @@ def test_user_data_slices():
     assert t.user_data("ab", 8) == b"12345678"
     assert t.user_data("cd", 8) == b"abcdefgh"
     assert t.user_data("zz", 8) is None
+
+
+def test_load_rejects_cyclic_offsets(tmp_path):
+    """A crafted file whose edge offsets don't strictly decrease (postorder)
+    must raise ValueError, not RecursionError."""
+    import struct
+
+    import pytest
+
+    from nativeextractor_spark.io.patty import _EDGE, _HEADER, _NODE, MAGIC, PattyTrie
+
+    p = tmp_path / "cyclic.patty"
+    PattyTrie.from_aliases(["ab", "ac"]).save(str(p))
+    blob = bytearray(p.read_bytes())
+    root_offset = struct.unpack_from("<Q", blob, len(blob) - 2 * 8 - len(b""))  # noqa
+    # parse header properly
+    (_m, _n, _e, _s, size, lookup_len, data_len, root, _do) = _HEADER.unpack_from(blob, 0)
+    # point the root's first edge at the root itself → cycle
+    edge_pos = root + _NODE.size
+    s, l, _nxt = _EDGE.unpack_from(blob, edge_pos)
+    _EDGE.pack_into(blob, edge_pos, s, l, root)
+    p.write_bytes(bytes(blob))
+    with pytest.raises(ValueError, match="postorder"):
+        PattyTrie.load(str(p))
+
+
+def test_load_rejects_out_of_bounds_child(tmp_path):
+    import struct
+
+    import pytest
+
+    from nativeextractor_spark.io.patty import _EDGE, _HEADER, _NODE, PattyTrie
+
+    p = tmp_path / "oob.patty"
+    PattyTrie.from_aliases(["ab", "ac"]).save(str(p))
+    blob = bytearray(p.read_bytes())
+    (_m, _n, _e, _s, size, lookup_len, data_len, root, _do) = _HEADER.unpack_from(blob, 0)
+    edge_pos = root + _NODE.size
+    s, l, _nxt = _EDGE.unpack_from(blob, edge_pos)
+    _EDGE.pack_into(blob, edge_pos, s, l, size + 1000)
+    p.write_bytes(bytes(blob))
+    with pytest.raises(ValueError, match="postorder"):
+        PattyTrie.load(str(p))
+
+
+def test_load_alias_dict_rejects_out_of_range_payload(tmp_path):
+    """Terminals whose payload slice exceeds the data section raise instead
+    of silently decoding bytes from offset 0."""
+    import pytest
+
+    from nativeextractor_spark.io.patty import load_alias_dict, save_alias_dict
+
+    p = tmp_path / "short.patty"
+    save_alias_dict(["aa", "bb"], str(p), entity_ids=[1, 2])
+    with pytest.raises(ValueError, match="data section"):
+        load_alias_dict(str(p), payload_size=64)
