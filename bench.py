@@ -170,6 +170,19 @@ def _headline(spark, sf: float) -> dict[str, float]:
             shingle="word",  # corpus-scale flavor: ~10x fewer shingles/page
         ).count(),
     )
+    # simhash over the full pages table: JVM zero-shuffle projection engine
+    # (r3; the r2 Python-md5 kernel measures ~0.9 s here but pays the Arrow
+    # text transfer into Python workers the JVM engine avoids at scale)
+    from nativeextractor_spark.textops import simhash
+
+    timed(
+        "simhash_pages",
+        lambda: simhash(
+            pages.select(F.col("url").alias("doc_id"), "text"),
+            token_hash="xx64",
+            engine="project",
+        ).count(),
+    )
     timed("tpch_q1", lambda: QUERIES["tpch_q1"](spark, SF_DIR).count())
     timed("ann_topk", lambda: QUERIES["ann_topk"](spark, SF_DIR).count())
     # regex parity engine over the corpus: the vectorized DFA executor

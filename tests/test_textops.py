@@ -291,3 +291,29 @@ def test_gopher_filters_rules(spark):
     assert not out[3].ok_symbol_ratio
     assert not out[4].ok_alpha_words
     assert all(not out[i].gopher_pass for i in (1, 2, 3, 4))
+
+
+def test_simhash_engines_bit_identical(spark):
+    """All three simhash engines (JVM projection, JVM explode+agg, NumPy
+    kernel) must produce bit-identical signatures, including null/empty/
+    whitespace-only docs and case-folded duplicate tokens."""
+    df = spark.createDataFrame(
+        [
+            (1, None),
+            (2, ""),
+            (3, "   "),
+            (4, "The THE the"),
+            (5, "alpha beta gamma delta alpha"),
+            (6, "x\ty\nz"),
+            (7, "lorem ipsum dolor sit amet " * 20),
+        ],
+        "doc_id long, text string",
+    )
+    out = {}
+    for eng in ["project", "agg", "kernel"]:
+        from nativeextractor_spark.textops.dedup import simhash
+
+        out[eng] = {r.doc_id: r.simhash for r in simhash(df, engine=eng).collect()}
+    assert out["project"] == out["kernel"]
+    assert out["agg"] == out["kernel"]
+    assert out["kernel"][1] == 0 and out["kernel"][2] == 0 and out["kernel"][3] == 0
