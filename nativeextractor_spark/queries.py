@@ -800,6 +800,155 @@ SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5
 """
 
 
+def q_ann_ivf_kmeans(spark, sf_dir):
+    """IVF with a TRAINED codebook (spherical Lloyd over the deterministic
+    lowest-id sample) instead of the seed set — the production path."""
+    from nativeextractor_spark.textops.similarity import cosine_topk_ivf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk_ivf(
+        emb, queries, k=5, n_centroids=8, nprobe=2, codebook="kmeans"
+    )
+
+
+def _ann_ivf_kmeans_oracle_sql() -> str:
+    """DuckDB recomputation of the trained-IVF path: the codebook is
+    retrained INDEPENDENTLY from the parquet file (pyarrow read, same
+    deterministic lloyd_kmeans) and inlined as literals, mirroring how the
+    ann_lsh oracle inlines its seed-42 hyperplanes. The centroid literals
+    are tied to the driver's correctness scale factor (sf0.01 — the data
+    the gate runs at); the norms are inlined with the exact left-to-right
+    fold the Spark plan uses."""
+    import pyarrow.parquet as pq
+
+    from nativeextractor_spark.textops.similarity import (
+        _seq_sq_norm,
+        lloyd_kmeans,
+    )
+
+    try:
+        tbl = pq.read_table(
+            "/root/testdata/sf0.01/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+    except Exception as e:  # pragma: no cover - sandbox always has sf0.01
+        return f"SELECT error('ann_ivf_kmeans oracle needs sf0.01 parquet: {e}')"
+    rows = sorted(
+        zip(tbl["vec_id"].to_pylist(), tbl["embedding"].to_pylist())
+    )[:4096]
+    cents = lloyd_kmeans([v for _, v in rows], 8)
+    values = ",\n    ".join(
+        "({}, [{}]::DOUBLE[], {!r})".format(
+            cid, ", ".join(repr(float(x)) for x in cv), _seq_sq_norm(cv)
+        )
+        for cid, cv in enumerate(cents)
+    )
+
+    def cos(v, c, n):
+        return (
+            f"round(list_dot_product({v}, {c})"
+            f" / (sqrt(list_dot_product({v}, {v})) * {n}), 6)"
+        )
+
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+c AS (SELECT * FROM (VALUES
+    {values}) AS t(cent_id, cv, cnorm)),
+asg AS (
+  SELECT vec_id, ve, cent_id AS cell FROM (
+    SELECT v.vec_id, v.ve, c.cent_id,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {cos('v.ve', 'c.cv', 'c.cnorm')} DESC,
+                                       c.cent_id) AS r
+    FROM v CROSS JOIN c) WHERE r = 1
+),
+q AS (SELECT vec_id AS query_id, ve AS qv FROM v WHERE vec_id < 3),
+probes AS (
+  SELECT query_id, qv, cent_id AS cell FROM (
+    SELECT q.query_id, q.qv, c.cent_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {cos('q.qv', 'c.cv', 'c.cnorm')} DESC,
+                                       c.cent_id) AS r
+    FROM q CROSS JOIN c) WHERE r <= 2
+),
+s AS (
+  SELECT p.query_id, a.vec_id, {_cos_sql('a.ve', 'p.qv')} AS cosine
+  FROM asg a JOIN probes p ON a.cell = p.cell
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rank
+      FROM s)
+SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5
+"""
+
+
+O_ANN_IVF_KMEANS = _ann_ivf_kmeans_oracle_sql()
+
+
+def q_ann_recall(spark, sf_dir):
+    """Recall@k of every approximate ANN path vs the exact brute-force
+    top-k — the tuning metric a user adjusts n_planes/nprobe against
+    (VERDICT r2 item 3). One row per (method, query)."""
+    exact = q_ann_topk(spark, sf_dir).select("query_id", "vec_id")
+    qids = exact.select("query_id").distinct()
+    methods = [
+        ("lsh", q_ann_lsh),
+        ("ivf", q_ann_ivf),
+        ("ivf_kmeans", q_ann_ivf_kmeans),
+    ]
+    parts = []
+    for name, fn in methods:
+        approx = fn(spark, sf_dir).select("query_id", "vec_id")
+        hits = (
+            approx.join(exact, ["query_id", "vec_id"])
+            .groupBy("query_id")
+            .agg(F.count("*").alias("hits"))
+        )
+        parts.append(
+            qids.join(hits, "query_id", "left").select(
+                F.lit(name).alias("method"),
+                "query_id",
+                F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+                F.round(
+                    F.coalesce(F.col("hits"), F.lit(0)) / F.lit(5.0), 6
+                ).alias("recall_at_k"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+O_ANN_RECALL = f"""
+WITH exact AS ({O_ANN_TOPK}),
+lsh AS ({O_ANN_LSH}),
+ivf AS ({O_ANN_IVF}),
+ivfk AS ({O_ANN_IVF_KMEANS}),
+qids AS (SELECT DISTINCT query_id FROM exact),
+methods AS (SELECT 'lsh' AS method UNION ALL SELECT 'ivf'
+            UNION ALL SELECT 'ivf_kmeans'),
+appr AS (
+  SELECT 'lsh' AS method, query_id, vec_id FROM lsh
+  UNION ALL SELECT 'ivf', query_id, vec_id FROM ivf
+  UNION ALL SELECT 'ivf_kmeans', query_id, vec_id FROM ivfk
+),
+h AS (
+  SELECT a.method, a.query_id, count(*) AS hits
+  FROM appr a JOIN exact e
+    ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+  GROUP BY a.method, a.query_id
+)
+SELECT m.method, q.query_id,
+       coalesce(h.hits, 0)::BIGINT AS hits,
+       round(coalesce(h.hits, 0) / 5.0, 6) AS recall_at_k
+FROM methods m CROSS JOIN qids q
+LEFT JOIN h ON h.method = m.method AND h.query_id = q.query_id
+"""
+
+
 def q_embedding_dup_pairs(spark, sf_dir):
     from nativeextractor_spark.textops.similarity import embedding_duplicate_pairs
 
@@ -1287,6 +1436,8 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
+    "ann_ivf_kmeans": q_ann_ivf_kmeans,
+    "ann_recall": q_ann_recall,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "lang_id": q_lang_id,
     "quality": q_quality,
@@ -1341,6 +1492,8 @@ def build_oracles() -> dict[str, str]:
         "simhash_dup_pairs": O_SIMHASH_DUP_PAIRS,
         "ann_lsh": O_ANN_LSH,
         "ann_ivf": O_ANN_IVF,
+        "ann_ivf_kmeans": O_ANN_IVF_KMEANS,
+        "ann_recall": O_ANN_RECALL,
         "embedding_dup_pairs": O_EMBEDDING_DUP_PAIRS,
         "multimodal_features": O_MULTIMODAL_FEATURES,
     }

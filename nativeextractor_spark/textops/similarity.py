@@ -148,6 +148,85 @@ def cosine_topk_lsh(
     )
 
 
+def _seq_sq_norm(vals) -> float:
+    """Left-to-right fold of sum(x*x), matching F.aggregate's evaluation
+    order bit-for-bit (NumPy pairwise summation would differ in the last
+    ulps; the cosine is rounded to 6 decimals downstream, but identical
+    folds keep the literal equal to what the old in-plan _norm computed)."""
+    acc = 0.0
+    for x in vals:
+        acc += float(x) * float(x)
+    return acc**0.5
+
+
+def lloyd_kmeans(X, n_centroids: int, n_iters: int = 5, seed: int = 42):
+    """Spherical k-means (cosine) on an in-memory sample — deterministic:
+    seeded init, float64, fixed iteration count. Returns the centroid
+    matrix as a list of lists (the coarse IVF codebook). Shared by the
+    Spark path and the DuckDB oracle builder so both sides inline identical
+    centroid literals."""
+    X = np.asarray(X, dtype=np.float64)
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    Xn = X / np.maximum(norms, 1e-12)
+    rng = np.random.RandomState(seed)
+    k = min(n_centroids, len(Xn))
+    C = Xn[rng.choice(len(Xn), size=k, replace=False)].copy()
+    for _ in range(n_iters):
+        assign = (Xn @ C.T).argmax(axis=1)
+        for j in range(k):
+            members = Xn[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+        C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    return [c.tolist() for c in C]
+
+
+def train_ivf_codebook(
+    vectors: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample: int = 4096,
+    n_iters: int = 5,
+    seed: int = 42,
+):
+    """IVF codebook via Lloyd iterations over a deterministic driver-side
+    sample (the ``sample`` lowest-id vectors — bounded collect, one small
+    job; at corpus scale this is the standard train-on-sample recipe).
+    Returns list[list[float]] centroids with ids 0..k-1."""
+    rows = (
+        vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy("_id")
+        .limit(sample)
+        .collect()
+    )
+    return lloyd_kmeans(
+        [list(r["_v"]) for r in rows], n_centroids, n_iters=n_iters, seed=seed
+    )
+
+
+def _nearest_cell_structs(vec, cents):
+    """array<struct<c,n>> of (rounded cosine to centroid, -cent_id) — an
+    argmax/sort over this array replaces the old crossJoin+Window shuffle:
+    the centroids are plan literals, so cell assignment is a pure
+    projection inside the scan stage (plan-asserted: no Exchange)."""
+    entries = []
+    for cid, cv in cents:
+        lit = F.array(*[F.lit(float(x)) for x in cv])
+        dot = F.aggregate(
+            F.zip_with(vec, lit, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cos = F.round(dot / (_norm(vec) * F.lit(_seq_sq_norm(cv))), 6)
+        # max struct = (max cosine, then max -cent_id = MIN cent_id): the
+        # same tie-break the old row_number(desc cos, asc cent_id) applied
+        entries.append(
+            F.struct(cos.alias("c"), F.lit(-int(cid)).cast("long").alias("n"))
+        )
+    return F.array(*entries)
+
+
 def cosine_topk_ivf(
     vectors: DataFrame,
     queries: DataFrame,
@@ -157,54 +236,59 @@ def cosine_topk_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    codebook="seed",
 ) -> DataFrame:
     """Approximate top-k via IVF coarse quantization: assign every vector to
     its nearest centroid cell, probe only each query's ``nprobe`` nearest
     cells, exact cosine re-rank inside them.
 
-    The coarse codebook here is a deterministic seed set (the
-    ``n_centroids`` lowest-id vectors) so the result is oracle-checkable; a
-    production build would train it with k-means — the Spark plan is
-    identical either way: centroids broadcast to the assignment scan (one
-    pass, no shuffle of the corpus), then a cell-equi-join replaces the full
-    scan. Returns (query_id, vec_id, cosine, rank).
+    Cell assignment is a single shuffle-free projection: the codebook is
+    inlined as plan literals and the nearest centroid is an ``array_max``
+    over (cosine, -cent_id) structs — no crossJoin, no Window, no Exchange
+    of the corpus (plan-asserted in tests/test_plans.py). Probe cells are a
+    sorted-slice over the same struct array on the (small) query side; the
+    cell equi-join broadcasts the probes.
+
+    ``codebook``: ``"seed"`` (default) = the vectors with id < n_centroids,
+    deterministic without training (oracle-checkable directly);
+    ``"kmeans"`` = :func:`train_ivf_codebook` (spherical Lloyd on a
+    deterministic sample — still oracle-checkable by inlining the trained
+    centroids, see queries.py); or an explicit list of centroid vectors.
+    Returns (query_id, vec_id, cosine, rank).
     """
+    if codebook == "seed":
+        cents = [
+            (r["_id"], list(r["_v"]))
+            for r in vectors.where(F.col(id_col) < n_centroids)
+            .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+            .collect()
+        ]
+    elif codebook == "kmeans":
+        cents = list(
+            enumerate(train_ivf_codebook(vectors, n_centroids, id_col, vec_col))
+        )
+    else:
+        cents = list(enumerate(codebook))
+
     v = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
-    cents = F.broadcast(
-        vectors.where(F.col(id_col) < n_centroids).select(
-            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("_c")
-        )
-    )
+    structs_v = _nearest_cell_structs(F.col("_v"), cents)
+    assigned = v.withColumn("cell", -F.array_max(structs_v).getField("n"))
 
-    def nearest_cells(df, id_name, vec, keep):
-        sim = df.crossJoin(cents).withColumn(
-            "_csim",
-            F.round(
-                _dot(F.col(vec), F.col("_c"))
-                / (_norm(F.col(vec)) * _norm(F.col("_c"))),
-                6,
-            ),
-        )
-        w = Window.partitionBy(id_name).orderBy(
-            F.desc("_csim"), F.asc("cent_id")
-        )
-        return (
-            sim.withColumn("_crank", F.row_number().over(w))
-            .where(F.col("_crank") <= keep)
-            .drop("_c", "_csim", "_crank")
-        )
-
-    assigned = nearest_cells(v, "vec_id", "_v", 1).withColumnRenamed(
-        "cent_id", "cell"
-    )
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     )
-    probes = nearest_cells(q, "query_id", "_qv", nprobe).withColumnRenamed(
-        "cent_id", "cell"
+    # reverse(array_sort) = (cosine desc, cent_id asc) — row_number parity
+    structs_q = _nearest_cell_structs(F.col("_qv"), cents)
+    probes = (
+        q.withColumn(
+            "_probe",
+            F.explode(F.slice(F.reverse(F.array_sort(structs_q)), 1, nprobe)),
+        )
+        .withColumn("cell", -F.col("_probe").getField("n"))
+        .drop("_probe")
     )
     sim = (
-        assigned.join(probes, "cell")
+        assigned.join(F.broadcast(probes), "cell")
         .withColumn(
             "cosine",
             F.round(

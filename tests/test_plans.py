@@ -96,3 +96,50 @@ def test_canonicalize_band_keys_are_jvm_side(spark):
     assert "xxhash64" in plan
     assert "Generate" in plan  # posexplode of the per-band key array
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_ivf_assignment_is_shuffle_free(spark):
+    """IVF cell assignment must be a pure projection over the corpus scan
+    (codebook inlined as literals + array_max argmax): no Exchange, no
+    Window, no crossJoin on the corpus side before the cell join. The only
+    Window/Exchange allowed in the whole plan is the final per-query rank,
+    and the probe join must be broadcast."""
+    from nativeextractor_spark.textops.similarity import cosine_topk_ivf
+
+    vecs = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 13) for j in range(8)]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = vecs.where("vec_id < 2").selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    df = cosine_topk_ivf(vecs, queries, k=3, n_centroids=4, nprobe=2)
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # exactly one logical window (the final rank); WindowGroupLimit rows
+    # belong to the same operator (Spark's top-k pushdown)
+    assert plan.count("Window [") <= 1, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    # the corpus branch (everything below the broadcast join's left child)
+    # must not exchange: the only Exchange lines allowed are the broadcast
+    # of probes and the final rank's hashpartitioning on query_id
+    for line in plan.splitlines():
+        if "Exchange" in line and "BroadcastExchange" not in line:
+            assert "query_id" in line, f"unexpected corpus-side exchange: {line}"
+
+
+def test_ivf_kmeans_matches_seed_plan_shape(spark):
+    from nativeextractor_spark.textops.similarity import cosine_topk_ivf
+
+    vecs = spark.createDataFrame(
+        [(i, [float((i * 5 + j) % 11) for j in range(8)]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = vecs.where("vec_id < 2").selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    df = cosine_topk_ivf(vecs, queries, k=3, n_centroids=4, codebook="kmeans")
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert df.count() > 0
