@@ -143,22 +143,34 @@ def canonicalize_surfaces(
         for pdf in batches:
             if not len(pdf):
                 continue
-            sigs = _batch_signatures(list(pdf["norm"]), a, b)
+            norms = list(pdf["norm"])
+            sigs = _batch_signatures(norms, a, b)
+            # stage the (sorted, unique) shingle-hash arrays alongside the
+            # signature: pair verification downstream is then pure SQL
+            # (array_intersect), no per-pair Python
+            shingles = [
+                _shingle_hashes(s).astype(np.int64).tolist() for s in norms
+            ]
             yield pd.DataFrame(
                 {
                     "norm": pdf["norm"].to_numpy(),
                     "surface_id": pdf["surface_id"].to_numpy(),
                     "sig": list(sigs),
+                    "sh": shingles,
                 }
             )
 
+    # materialized once: band derivation, and BOTH shingle-array sides of
+    # the verification join consume it — without truncation each re-runs
+    # the signature kernel
     sig_df = (
         norm.select("norm", "surface_id")
         .distinct()
         .mapInPandas(
             sig_kernel,
-            schema="norm string, surface_id long, sig array<long>",
+            schema="norm string, surface_id long, sig array<long>, sh array<long>",
         )
+        .localCheckpoint(eager=True)
     )
 
     # band keys derived JVM-side (see _band_keys). Materialized once: the
@@ -176,43 +188,37 @@ def canonicalize_surfaces(
     bounded = bands_df.join(kept_buckets, ["band", "band_hash"])
 
     left = bounded.select(
-        "band", "band_hash",
-        F.col("surface_id").alias("id_a"), F.col("norm").alias("norm_a"),
+        "band", "band_hash", F.col("surface_id").alias("id_a")
     )
     right = bounded.select(
-        "band", "band_hash",
-        F.col("surface_id").alias("id_b"), F.col("norm").alias("norm_b"),
+        "band", "band_hash", F.col("surface_id").alias("id_b")
     )
     pairs = (
         left.join(right, ["band", "band_hash"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "norm_a", "id_b", "norm_b")
+        .select("id_a", "id_b")
         .distinct()
     )
 
-    @F.pandas_udf("double")
-    def jaccard_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
-        # shingle arrays cached per distinct norm within the Arrow batch;
-        # set ops as sorted-array intersections (no Python sets)
-        cache: dict[str, np.ndarray] = {}
-
-        def sh(s: str) -> np.ndarray:
-            r = cache.get(s)
-            if r is None:
-                r = _shingle_hashes(s)  # unique + sorted
-                cache[s] = r
-            return r
-
-        out = np.empty(len(s1), dtype=np.float64)
-        for i, (x, y) in enumerate(zip(s1, s2)):
-            a, b = sh(x), sh(y)
-            inter = np.intersect1d(a, b, assume_unique=True).size
-            union = a.size + b.size - inter
-            out[i] = 1.0 if union == 0 else inter / union
-        return pd.Series(out)
-
-    verified = pairs.withColumn("jac", jaccard_udf("norm_a", "norm_b")).where(
-        F.col("jac") >= jaccard_threshold
+    # verification entirely JVM-side: join the staged (unique, sorted)
+    # shingle-hash arrays back in and compute exact set Jaccard with
+    # array_intersect — no per-pair Python (VERDICT r2 item 5). The joins
+    # are against the checkpointed distinct-surface signature table, which
+    # is orders of magnitude smaller than the corpus.
+    sha = sig_df.select(F.col("surface_id").alias("id_a"), F.col("sh").alias("_sha"))
+    shb = sig_df.select(F.col("surface_id").alias("id_b"), F.col("sh").alias("_shb"))
+    inter = F.size(F.array_intersect("_sha", "_shb"))
+    union = F.size("_sha") + F.size("_shb") - inter
+    verified = (
+        pairs.join(sha, "id_a")
+        .join(shb, "id_b")
+        .withColumn(
+            "jac",
+            F.when(union == 0, F.lit(1.0)).otherwise(
+                inter.cast("double") / union
+            ),
+        )
+        .where(F.col("jac") >= jaccard_threshold)
     )
 
     # checkpoint: the LSH lineage (signatures → band join → jaccard) is
