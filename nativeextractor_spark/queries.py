@@ -957,28 +957,45 @@ def q_embedding_dup_pairs(spark, sf_dir):
 
 
 def _embedding_dup_oracle_sql() -> str:
-    """Mirror of embedding_duplicate_pairs: same seed-42 hyperplane buckets
-    inlined as literals, same bucketed self-join + exact cosine verify."""
+    """Mirror of embedding_duplicate_pairs: the same 4 independent
+    hyperplane bands (seeds 42..45) inlined as literals, candidate = share
+    a bucket in ANY band (UNION ALL + DISTINCT), exact cosine verify."""
     from nativeextractor_spark.textops.similarity import _hyperplanes
 
-    planes = _hyperplanes(dim=64, n_planes=6, seed=42)
-    terms = []
-    for p in range(planes.shape[0]):
-        lit = "[" + ", ".join(repr(float(x)) for x in planes[p]) + "]::DOUBLE[]"
-        terms.append(
-            f"(CASE WHEN list_dot_product(ve, {lit}) >= 0"
-            f" THEN {1 << p} ELSE 0 END)"
+    n_planes, n_bands = 6, 4
+    band_selects = []
+    for band in range(n_bands):
+        planes = _hyperplanes(dim=64, n_planes=n_planes, seed=42 + band)
+        terms = []
+        for p in range(planes.shape[0]):
+            lit = (
+                "[" + ", ".join(repr(float(x)) for x in planes[p]) + "]::DOUBLE[]"
+            )
+            terms.append(
+                f"(CASE WHEN list_dot_product(ve, {lit}) >= 0"
+                f" THEN {1 << p} ELSE 0 END)"
+            )
+        bucket = "(" + " + ".join(terms) + ")"
+        band_selects.append(
+            f"SELECT vec_id, ve, {band} AS band, {bucket} AS bucket FROM v"
         )
-    bucket = "(" + " + ".join(terms) + ")"
+    bands_sql = "\n  UNION ALL ".join(band_selects)
     return f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
-b AS (SELECT vec_id, ve, {bucket} AS bucket FROM v),
+b AS ({bands_sql}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+  FROM b a JOIN b b2
+    ON a.band = b2.band AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+),
 pairs AS (
-  SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
-         round(list_dot_product(a.ve, b2.ve)
-               / (sqrt(list_dot_product(a.ve, a.ve))
-                  * sqrt(list_dot_product(b2.ve, b2.ve))), 6) AS cosine
-  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+  SELECT id_a, id_b,
+         round(list_dot_product(va.ve, vb.ve)
+               / (sqrt(list_dot_product(va.ve, va.ve))
+                  * sqrt(list_dot_product(vb.ve, vb.ve))), 6) AS cosine
+  FROM cand
+  JOIN v va ON va.vec_id = id_a
+  JOIN v vb ON vb.vec_id = id_b
 )
 SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.2
 """

@@ -307,58 +307,89 @@ def cosine_topk_ivf(
     )
 
 
+def _sign_bucket_expr(col, planes) -> "F.Column":
+    """Sign-bit bucket of ``col`` under a hyperplane matrix (plan literals)."""
+    n_planes = planes.shape[0]
+    bits = []
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                col,
+                F.array(*[F.lit(float(x)) for x in planes[p]]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    out = F.lit(0)
+    for b in bits:
+        out = out + b
+    return out
+
+
 def embedding_duplicate_pairs(
     vectors: DataFrame,
     threshold: float = 0.95,
     n_planes: int = 6,
+    n_bands: int = 4,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
     max_bucket: int = 1000,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: vectors sharing a
-    random-hyperplane sign bucket, verified with exact cosine ≥ threshold.
+    """Embedding-cosine near-duplicate pairs via MULTI-BAND hyperplane LSH:
+    ``n_bands`` independent plane sets (seeds ``seed+band``); a pair is a
+    candidate if it shares a sign bucket in ANY band, then exact cosine ≥
+    ``threshold`` verifies it. Returns (id_a, id_b, cosine).
 
-    The bucketed self-join replaces the all-pairs cross product (near-dups
-    almost always share all sign bits); oversized buckets are dropped
-    (skew cap). Returns (id_a, id_b, cosine)."""
-    planes = _hyperplanes(dim, n_planes, seed)
+    A single plane set misses near-threshold pairs with non-trivial
+    probability (one flipped sign bit breaks the equi-join): with
+    cos≈0.95 and n_planes=6, P[all bits agree] ≈ (1-0.101)^6 ≈ 0.53. With
+    b independent bands the miss probability is (1-p^r)^b — measured on
+    the planted-pair fixture in tests/test_textops.py: 1 band ≈ 0.5
+    recall, 4 bands ≈ 0.95+. Oversized (band, bucket) groups are dropped
+    (skew cap, documented recall loss — never an OOM); candidates never
+    go all-pairs.
 
-    def bucket_expr(col):
-        bits = []
-        for p in range(n_planes):
-            proj = F.aggregate(
-                F.zip_with(
-                    col,
-                    F.array(*[F.lit(float(x)) for x in planes[p]]),
-                    lambda x, y: x.cast("double") * y,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
-        out = F.lit(0)
-        for b in bits:
-            out = out + b
-        return out
-
-    v = vectors.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("_v"),
-        bucket_expr(F.col(vec_col)).alias("bucket"),
+    Scale shape: one narrow (vec_id, band, bucket) table is checkpointed
+    (n_bands rows/vector, no embedding payload); the self-join carries ids
+    only and the vectors join back for verification from a once-
+    checkpointed (vec_id, vector) projection.
+    """
+    base = vectors.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")
     ).localCheckpoint(eager=True)
-    sizes = v.groupBy("bucket").agg(F.count("*").alias("_sz"))
-    bounded = v.join(sizes.where(F.col("_sz") <= max_bucket).drop("_sz"), "bucket")
-    a = bounded.select(
-        "bucket", F.col("vec_id").alias("id_a"), F.col("_v").alias("_va")
+    band_arr = F.array(
+        *[
+            _sign_bucket_expr(F.col("_v"), _hyperplanes(dim, n_planes, seed + i))
+            for i in range(n_bands)
+        ]
     )
-    b = bounded.select(
-        "bucket", F.col("vec_id").alias("id_b"), F.col("_v").alias("_vb")
+    # narrow bucket table, materialized once: bucket sizing and both
+    # self-join sides consume it
+    buckets = (
+        base.select("vec_id", F.posexplode(band_arr).alias("band", "bucket"))
+        .localCheckpoint(eager=True)
     )
-    return (
-        a.join(b, "bucket")
+    sizes = buckets.groupBy("band", "bucket").agg(F.count("*").alias("_sz"))
+    bounded = buckets.join(
+        sizes.where(F.col("_sz") <= max_bucket).drop("_sz"), ["band", "bucket"]
+    )
+    a = bounded.select("band", "bucket", F.col("vec_id").alias("id_a"))
+    b = bounded.select("band", "bucket", F.col("vec_id").alias("id_b"))
+    pairs = (
+        a.join(b, ["band", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = base.select(F.col("vec_id").alias("id_a"), F.col("_v").alias("_va"))
+    vb = base.select(F.col("vec_id").alias("id_b"), F.col("_v").alias("_vb"))
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn(
             "cosine",
             F.round(

@@ -317,3 +317,52 @@ def test_simhash_engines_bit_identical(spark):
     assert out["project"] == out["kernel"]
     assert out["agg"] == out["kernel"]
     assert out["kernel"][1] == 0 and out["kernel"][2] == 0 and out["kernel"][3] == 0
+
+
+def test_embedding_dup_pairs_multiband_recall(spark):
+    """Planted near-duplicate pairs: multi-band blocking must recover
+    nearly all of them, and strictly more than a single band (the r2
+    single-bucket design provably misses near-threshold pairs whose one
+    sign bit flips). Ground truth = brute-force cosine >= threshold."""
+    import numpy as np
+
+    from nativeextractor_spark.textops.similarity import (
+        embedding_duplicate_pairs,
+    )
+
+    rng = np.random.RandomState(7)
+    dim, n_base = 16, 60
+    base = rng.standard_normal((n_base, dim))
+    rows = []
+    truth = set()
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        # plant a near-duplicate of every 2nd vector (small noise)
+        if i % 2 == 0:
+            w = v + 0.12 * rng.standard_normal(dim)
+            rows.append((1000 + i, [float(x) for x in w]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    X = np.array([r[1] for r in rows])
+    ids = [r[0] for r in rows]
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    sims = Xn @ Xn.T
+    thr = 0.9
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            if round(sims[a, b], 6) >= thr:
+                truth.add((min(ids[a], ids[b]), max(ids[a], ids[b])))
+    assert len(truth) >= 20  # the planted pairs are above threshold
+
+    def recall(n_bands):
+        got = {
+            (r.id_a, r.id_b)
+            for r in embedding_duplicate_pairs(
+                df, threshold=thr, n_planes=6, n_bands=n_bands, dim=dim
+            ).collect()
+        }
+        assert got <= truth  # exact verify: no false positives
+        return len(got & truth) / len(truth)
+
+    r1, r4 = recall(1), recall(4)
+    assert r4 >= r1
+    assert r4 >= 0.9, (r1, r4)
