@@ -226,11 +226,28 @@ def prepass_resolve(
        corpus vocabulary — and broadcast them back as a pre-resolved miner
        whose extraction-time rule is set membership.
 
-    Opt-in, not the default: the pre-pass costs one extra corpus scan, which
-    pays off when probe cost dominates (large dictionaries / many
-    GazetteerMiners sharing the pass), not for small alias lists (measured
-    at sf0.1 with the 16-alias KG dictionary: direct 9.4 s vs pre-pass
-    9.7 s build + 8.6 s extract; outputs identical, 447k occurrences).
+    Opt-in, not the default — and deliberately NOT auto-switched on
+    dictionary size. Measured sweep (sf0.1 documents, 50k docs, local[32],
+    identical outputs at every point):
+
+    ====== ========= =====================
+    keys   direct    pre-pass (build+mine)
+    ====== ========= =====================
+    100    ~2.0 s    0.7 + 1.3 = 2.0 s
+    10k    ~2.0 s    0.6 + 1.9 = 2.5 s
+    100k   ~2.0 s    0.6 + 2.0 = 2.6 s
+    300k   ~2.0 s    0.7 + 2.0 = 2.6 s
+    ====== ========= =====================
+
+    There is no dictionary-size break-even: ``find_batch`` already probes
+    once per batch-unique token, so the binary search's log K is invisible
+    next to the candidate scan, and the pre-pass's extra corpus pass never
+    pays for itself within a single extraction (same result earlier at
+    sf0.1 pages with 16 aliases: direct 9.4 s vs 9.7 + 8.6 s). The
+    pre-pass wins only when the RESOLVED miner is reused — ≥2 extraction
+    passes over the same corpus (iterative KG refinement, per-label
+    re-mining), where the build cost amortizes and every later pass runs
+    on O(1) set membership.
     """
     import pandas as pd
 
