@@ -160,6 +160,63 @@ def regex_engine_safe(glob: str) -> bool:
     return True
 
 
+def split_single_star(glob: str):
+    """(prefix, suffix) around the glob's single top-level ``*`` — None if
+    there are zero or several stars, an escape anywhere (the reference's
+    raw-backslash probe quirk keeps escapes on the exact engine), or an
+    unterminated set. ``*`` inside ``[sets]`` is a set member, not a
+    wildcard (match_glob_impl's '[' branch consumes it)."""
+    stars: list[int] = []
+    i, n = 0, len(glob)
+    while i < n:
+        c = glob[i]
+        if c == "\\":
+            return None
+        if c == "[":
+            i += 1
+            last: str | None = None
+            while i < n:
+                if glob[i] == "]" and last != "\\":
+                    break
+                last = glob[i]
+                i += 1
+            if i >= n:
+                return None
+            i += 1
+        elif c == "*":
+            stars.append(i)
+            i += 1
+        else:
+            i += 1
+    if len(stars) != 1:
+        return None
+    s = stars[0]
+    return glob[:s], glob[s + 1 :]
+
+
+def trailing_star_safe(glob: str) -> bool:
+    """True iff ``glob`` = A + trailing ``*`` with A in the proven star-free
+    regex class — scan-level equivalent to ``re.finditer``:
+
+    - failed attempts die inside A (delimiter-free elements), so the scan
+      guard never passes the next anchored candidate and A cannot mark_end
+      (the pattern end lives after the star) — state-irrelevant;
+    - once A matches, the attempt ALWAYS succeeds: the trailing star skips
+      the rest of the token, mark_end lands at the token boundary, and the
+      tail check (delimiter or EOF) holds there by construction. Matched
+      spans equal the greedy regex span, and the guard after success
+      (end+1) equals finditer's resume-at-match-end with the post-delimiter
+      anchor."""
+    sp = split_single_star(glob)
+    return (
+        sp is not None
+        and sp[1] == ""
+        and sp[0] != ""
+        and regex_engine_safe(sp[0])
+        and not _starts_with_delimiter(glob)
+    )
+
+
 def _case_variants(ch: str) -> set[str]:
     """Chars the reference's match_character accepts for pattern char ``ch``.
 
@@ -220,10 +277,11 @@ def _parse_set(glob: str, i: int) -> tuple[str, int]:
             return _class_of(chars, ranges), i + 1
 
 
-def glob_to_regex(glob: str) -> str:
-    """Compile a reference glob into an equivalent Python regex."""
-    if not is_glob(glob):
-        raise ValueError(f"{glob!r} is not a syntactically correct glob")
+def translate_fragment(glob: str) -> str:
+    """Translate a glob fragment (element sequence, stars allowed) into the
+    equivalent regex BODY — no scan anchor, no token-end tail. Factored out
+    of :func:`glob_to_regex` so the fast star scan can build anchored
+    attempt regexes for the prefix/suffix around a star."""
     d = class_body("delim")
     nondelim = f"[^{d}]"
     body: list[str] = []
@@ -265,27 +323,47 @@ def glob_to_regex(glob: str) -> str:
         else:
             body.append(_class_of(_case_variants(ch), []))
             i += 1
+    return "".join(body)
+
+
+def glob_to_regex(glob: str) -> str:
+    """Compile a reference glob into an equivalent Python regex."""
+    if not is_glob(glob):
+        raise ValueError(f"{glob!r} is not a syntactically correct glob")
+    d = class_body("delim")
+    nondelim = f"[^{d}]"
+    body = translate_fragment(glob)
     anchor = f"(?:\\A|(?<=[{d}]))"
     if not _starts_with_delimiter(glob):
         # the pre-match delimiter skip (glob_entities.c:130-135) runs BEFORE
         # mark_start, so the span must begin on a non-delimiter char
         anchor += f"(?={nondelim})"
     tail = f"(?:(?=[{d}])|\\Z)"
-    return anchor + "".join(body) + tail
+    return anchor + body + tail
 
 
 class GlobMiner(PatternMiner):
     """Miner matching one glob pattern; label defaults to "Glob" like the
     reference factory (glob_entities.c:311-317).
 
-    ``engine="auto"`` (default) resolves per pattern: the compiled-regex
-    fast path (C-speed ``re`` scanning) when :func:`regex_engine_safe`
-    proves pattern-level equivalence, else the transcribed reference cursor
-    machine (:mod:`nativeextractor_spark.miners.glob_exact`) — bit-exact
-    including failure-advance scan guards. ``engine="exact"`` /
-    ``engine="regex"`` force a specific engine (the regex path is also
-    equivalent for ANY glob on delimiter-free text — property-tested —
-    and passes every reference fixture).
+    ``engine="auto"`` (default) resolves per pattern:
+
+    - ``regex`` — C-speed ``re`` scanning when :func:`regex_engine_safe`
+      (star-free) or :func:`trailing_star_safe` (``A*``) proves scan-level
+      equivalence;
+    - ``fast_star`` — the vectorized single-star scan
+      (:func:`~nativeextractor_spark.miners.glob_exact.fast_star_scan`,
+      r3): attempts resolved by C-level regex calls, failure-advance and
+      end-mark-leak guards reproduced closed-form; property-tested against
+      the naive machine walk;
+    - ``exact`` — the transcribed reference cursor machine for everything
+      else (multi-star, escapes, delimiter-matching elements) — bit-exact
+      including failure-advance scan guards.
+
+    ``engine="exact"`` / ``engine="regex"`` / ``engine="fast_star"``
+    force a specific engine (the regex path is also equivalent for ANY
+    glob on delimiter-free text — property-tested — and passes every
+    reference fixture).
     """
 
     def __init__(
@@ -297,19 +375,32 @@ class GlobMiner(PatternMiner):
     ):
         super().__init__(label, glob_to_regex(glob), prob)
         self.glob = glob
-        if engine not in ("auto", "exact", "regex"):
+        if engine not in ("auto", "exact", "regex", "fast_star"):
             raise ValueError(f"unknown engine {engine!r}")
         if engine == "auto":
-            engine = "regex" if regex_engine_safe(glob) else "exact"
+            from nativeextractor_spark.miners.glob_exact import fast_star_class
+
+            if regex_engine_safe(glob) or trailing_star_safe(glob):
+                engine = "regex"
+            elif fast_star_class(glob) is not None:
+                engine = "fast_star"
+            else:
+                engine = "exact"
         self.engine = engine
 
     def find(self, text: str):
         if self.engine == "regex":
             yield from super().find(text)
             return
-        from nativeextractor_spark.miners.glob_exact import reference_glob_scan
-
         from nativeextractor_spark.miners.base import Occurrence
+
+        if self.engine == "fast_star":
+            from nativeextractor_spark.miners.glob_exact import fast_star_scan
+
+            for s, e in fast_star_scan(text, self.glob):
+                yield Occurrence(s, e, self.label, self.prob)
+            return
+        from nativeextractor_spark.miners.glob_exact import reference_glob_scan
 
         for s, e in reference_glob_scan(text, self.glob):
             yield Occurrence(s, e, self.label, self.prob)

@@ -355,6 +355,155 @@ def _candidate_re(glob: str):
     return compile_cached(f"(?:\\A|(?<=[{d}])){accept}")
 
 
+def fast_star_class(glob: str):
+    """(A, B) when ``glob`` = A + ``*`` + B is in the vectorizable
+    single-star class, else None.
+
+    Class requirements (each keeps one machine behavior closed-form):
+    - exactly one top-level ``*``, neither first nor last element (star-
+      first globs have no prefilter; trailing stars go to the regex engine
+      via :func:`~nativeextractor_spark.miners.glob.trailing_star_safe`);
+    - no escapes (raw-backslash probe quirk), A and B in the proven
+      star-free regex class (every element delimiter-free, so A/B matches
+      never cross token boundaries and consume a fixed char count);
+    - the glob is not delimiter-starting (entry skip + anchored prefilter
+      exist — note the raw-'[' quirk makes every set-STARTING glob
+      delimiter-starting) and B does not start with ``[`` (same quirk
+      would suppress the rest recursion's entry skip).
+    """
+    from nativeextractor_spark.miners.glob import (
+        regex_engine_safe,
+        split_single_star,
+    )
+
+    sp = split_single_star(glob)
+    if sp is None:
+        return None
+    a, b = sp
+    if not a or not b or b[0] == "[":
+        return None
+    if _starts_with_delimiter(glob):
+        return None
+    if not (regex_engine_safe(a) and regex_engine_safe(b)):
+        return None
+    return a, b
+
+
+@_lru_cache(maxsize=1024)
+def _fast_star_res(glob: str):
+    from nativeextractor_spark.functions.unicode import class_body
+    from nativeextractor_spark.miners.base import compile_cached
+    from nativeextractor_spark.miners.glob import translate_fragment
+
+    a, b = fast_star_class(glob)
+    d = class_body("delim")
+    tail = f"(?:(?=[{d}])|\\Z)"
+    # one C call resolves the whole attempt: the full pattern is tried
+    # exhaustively first (machine try order), else the bare prefix tells
+    # us the star was reached and where it started
+    combo_re = compile_cached(
+        f"(?:(?P<occ>{translate_fragment(glob)}{tail})"
+        f"|(?P<pre>{translate_fragment(a)}))"
+    )
+    b_re = compile_cached(translate_fragment(b))
+    return combo_re, b_re
+
+
+def fast_star_scan(text: str, glob: str) -> list[tuple[int, int]]:
+    """Vectorized scan for :func:`fast_star_class` globs: the per-candidate
+    Python star recursion is replaced by O(1) C-level regex calls whose
+    results reproduce the machine's full failure state (VERDICT r2 item 4).
+
+    Per attempt at position p (always a non-delimiter char — anchored
+    candidates from the prefilter, or a literal attempt at an end-mark-leak
+    position, exactly like :func:`reference_glob_scan`):
+
+    - SUCCESS: one anchored match of the translated body+tail. The
+      translation's star encoding already mirrors the machine's try order
+      (rest at the current position first — including its entry delimiter
+      skip — then successive non-delimiter positions), so span and
+      acceptance coincide; the guard advances to end+1 (the consumed
+      token-end delimiter), which equals the machine's
+      max(end_last, pos_last).
+    - PREFIX FAILURE (A does not match at p): the machine dies inside the
+      first token and retnuls one past its closing delimiter — never past
+      the next anchored candidate, and A cannot mark_end — so
+      failpos = nextdelim(p)+1 captures the entire state.
+    - STAR FAILURE (A matched, ending at pos0): the star walk lands on the
+      first delimiter d* strictly after pos0 and retnuls → failpos = d*+1
+      (or EOF). The end-mark LEAK is the rightmost rest position whose
+      B-body matched but whose tail check failed: B consumes a fixed char
+      count, so rightmost-tried = rightmost match of (?=(B)) in
+      [pos0, d*); when pos0 itself sits on a delimiter, the FIRST tried
+      rest position skips the whole delimiter run (rest entry) and may
+      mark_end in a later token — probed separately. The guard
+      max(failpos, leak, end_last) can land mid-token: the next loop
+      iteration then performs the literal unanchored attempt the naive
+      walk would (the 'b??AbA'/'b*?' counterexample regression lives in
+      tests/test_glob_property.py).
+
+    A key pruning makes the common path ONE regex call per candidate: an
+    in-range leaked end e satisfies e <= d* < failpos (B is delimiter-free,
+    so a rest match starting before d* cannot cross it), so in-range leaks
+    NEVER move the guard — only the pos0-on-delimiter skip-probe can, and
+    only that case computes extra state.
+
+    Property-tested against :func:`_reference_glob_scan_naive` over random
+    texts and class globs.
+    """
+    combo_re, b_re = _fast_star_res(glob)
+    cand = _candidate_re(glob)
+    delim_search = _delim_re().search
+    nondelim_search = _nondelim_re().search
+    out: list[tuple[int, int]] = []
+    n = len(text)
+    pos = 0
+    cand_iter = cand.finditer(text)
+    while pos < n:
+        if pos > 0 and not is_delimiter(text[pos - 1]):
+            p = pos  # unanchored literal attempt (guard parked mid-token)
+        else:
+            p = None
+            for hit in cand_iter:
+                if hit.start() >= pos:
+                    p = hit.start()
+                    break
+            if p is None:
+                break
+        m = combo_re.match(text, p)
+        if m is None or m.lastgroup == "pre":
+            if m is None:
+                # prefix failure: the machine dies inside p's token and
+                # retnuls one past its closing delimiter — nothing leaks
+                hitd = delim_search(text, p)
+                pos = hitd.start() + 1 if hitd else n
+                continue
+            pos0 = m.end()
+            if pos0 < n and is_delimiter(text[pos0]):
+                # A consumed its whole token: the star walk can cross into
+                # the next token, and the FIRST rest attempt (entry skips
+                # the delimiter run) may mark_end even further out
+                hitd = delim_search(text, pos0 + 1)
+                failpos = hitd.start() + 1 if hitd else n
+                leak = 0
+                hitn = nondelim_search(text, pos0)
+                if hitn is not None:
+                    mb = b_re.match(text, hitn.start())
+                    if mb is not None:
+                        leak = mb.end()
+                pos = max(p + 1, failpos, leak)
+            else:
+                # star died at the token end; every possible leak is
+                # in-range (<= d* < failpos) and cannot move the guard
+                hitd = delim_search(text, pos0)
+                pos = hitd.start() + 1 if hitd else n
+            continue
+        e = m.end()
+        out.append((p, e))
+        pos = max(p + 1, e + 1 if e < n else e)
+    return out
+
+
 def _reference_glob_scan_naive(text: str, glob: str) -> list[tuple[int, int]]:
     """The literal per-position extractor loop — kept as the semantics
     reference that the prefiltered scan is property-tested against."""

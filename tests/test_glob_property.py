@@ -104,16 +104,90 @@ def test_guard_divergence_class_documented():
 
 
 def test_auto_engine_selection():
-    """engine="auto" (the default) picks regex exactly on the proven class."""
+    """engine="auto" (the default) picks the fastest proven-equivalent
+    engine per pattern class."""
     from nativeextractor_spark.miners.glob import regex_engine_safe
 
     assert GlobMiner("the").engine == "regex"  # star-free, delimiter-free
     assert GlobMiner("[a-f]x?").engine == "regex"
-    assert GlobMiner("s*k").engine == "exact"  # star → guard semantics
+    assert GlobMiner("ab*").engine == "regex"  # trailing star (r3 proof)
+    assert GlobMiner("s*k").engine == "fast_star"  # single mid-star (r3)
+    assert GlobMiner("b*?").engine == "fast_star"
+    assert GlobMiner("s*[kx]").engine == "exact"  # rest-set entry quirk
+    assert GlobMiner("a*b*c").engine == "exact"  # multi-star
+    assert GlobMiner("*k").engine == "exact"  # star-first: no prefilter
     assert GlobMiner("a.b").engine == "exact"  # literal delimiter
+    assert GlobMiner("a*.").engine == "exact"  # delimiter in rest
     assert GlobMiner("\\a").engine == "exact"  # escape probes raw backslash
     assert GlobMiner("[a.]").engine == "exact"  # delimiter in set
     assert not regex_engine_safe("[a\\-b]")  # escape inside set
+
+
+@st.composite
+def single_star_globs(draw):
+    a = draw(starfree_globs())
+    b = draw(starfree_globs())
+    return a + "*" + b
+
+
+@settings(max_examples=400, deadline=None)
+@given(
+    text=st.text(alphabet="abcABC .x-\t?", min_size=0, max_size=45),
+    glob=single_star_globs(),
+)
+def test_fast_star_scan_equals_naive_walk(text, glob):
+    """The r3 vectorized single-star scan must be span-identical to the
+    literal per-position extractor walk — including failure-advance guards
+    and end-mark leaks — on arbitrary text over its whole pattern class."""
+    from nativeextractor_spark.miners.glob_exact import (
+        _reference_glob_scan_naive,
+        fast_star_class,
+        fast_star_scan,
+    )
+
+    if not is_glob(glob) or fast_star_class(glob) is None:
+        return
+    assert fast_star_scan(text, glob) == _reference_glob_scan_naive(
+        text, glob
+    ), f"text={text!r} glob={glob!r}"
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    text=st.text(alphabet="abcABC .x-\t", min_size=0, max_size=45),
+    glob=starfree_globs(),
+)
+def test_trailing_star_regex_equals_naive_walk(text, glob):
+    """Trailing-star globs (A*) with a safe prefix are scan-equivalent to
+    the regex engine: A-failures are state-irrelevant and A-matches always
+    succeed at the token boundary."""
+    from nativeextractor_spark.miners.glob import trailing_star_safe
+    from nativeextractor_spark.miners.glob_exact import (
+        _reference_glob_scan_naive,
+    )
+
+    g = glob + "*"
+    if not is_glob(g) or not trailing_star_safe(g):
+        return
+    got = _spans(GlobMiner(g, engine="regex"), text)
+    assert got == _reference_glob_scan_naive(text, g), f"text={text!r} g={g!r}"
+
+
+def test_fast_star_end_mark_leak_regression():
+    """The 'b??AbA'/'b*?' counterexample that broke the r2 prefilter
+    equivalence proof: a failed rest recursion leaks its mark_end, parking
+    the guard mid-token; the fast scan must attempt that unanchored
+    position literally, like the naive walk."""
+    from nativeextractor_spark.miners.glob_exact import (
+        _reference_glob_scan_naive,
+        fast_star_scan,
+    )
+
+    for text in ["b??AbA", "b??AbA b", "a  aa", "bA bAA b"]:
+        for glob in ["b*?", "a*?"]:
+            assert fast_star_scan(text, glob) == _reference_glob_scan_naive(
+                text, glob
+            ), (text, glob)
 
 
 @settings(max_examples=200, deadline=None)
