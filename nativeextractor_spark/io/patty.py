@@ -258,6 +258,11 @@ class PattyTrie:
         if data_len:
             t.data = bytearray(blob[data_offset : data_offset + data_len])
         body_start = _HEADER.size + lookup_len + data_len
+        if not (body_start <= root_offset < size):
+            raise ValueError(
+                f"corrupt PATTY file: root offset {root_offset} outside the "
+                f"node section [{body_start}, {size})"
+            )
 
         def read_node(off: int) -> _Node:
             # save() writes postorder (children strictly before parents), so

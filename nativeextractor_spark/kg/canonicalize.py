@@ -76,16 +76,18 @@ def jaccard(s1: str, s2: str) -> float:
     return len(a & b) / len(a | b)
 
 
-def _batch_signatures(norms: list[str], a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """(n_surfaces, num_hashes) signature matrix — one reduceat over the
-    batch's concatenated shingle hashes instead of a matmul per surface."""
+def _batch_signatures(norms: list[str], a: np.ndarray, b: np.ndarray):
+    """(signature matrix (n_surfaces, num_hashes), per-surface shingle-hash
+    arrays) — one reduceat over the batch's concatenated shingle hashes
+    instead of a matmul per surface. The shingle arrays are returned so the
+    caller can stage them without recomputing the hash kernel."""
     shingles = [_shingle_hashes(s) for s in norms]  # each non-empty (padded)
     counts = np.fromiter((x.size for x in shingles), dtype=np.int64, count=len(shingles))
     flat = (np.concatenate(shingles) % np.uint64(_MERSENNE)).astype(np.int64)
     offsets = np.zeros(len(norms), dtype=np.int64)
     np.cumsum(counts[:-1], out=offsets[1:])
     permuted = (a[:, None] * flat[None, :] + b[:, None]) % _MERSENNE  # (k, total)
-    return np.minimum.reduceat(permuted, offsets, axis=1).T
+    return np.minimum.reduceat(permuted, offsets, axis=1).T, shingles
 
 
 def _band_keys(sig_df: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
@@ -144,13 +146,12 @@ def canonicalize_surfaces(
             if not len(pdf):
                 continue
             norms = list(pdf["norm"])
-            sigs = _batch_signatures(norms, a, b)
             # stage the (sorted, unique) shingle-hash arrays alongside the
             # signature: pair verification downstream is then pure SQL
-            # (array_intersect), no per-pair Python
-            shingles = [
-                _shingle_hashes(s).astype(np.int64).tolist() for s in norms
-            ]
+            # (array_intersect), no per-pair Python — and the arrays come
+            # back from the signature kernel, computed once per surface
+            sigs, sh_arrays = _batch_signatures(norms, a, b)
+            shingles = [x.astype(np.int64).tolist() for x in sh_arrays]
             yield pd.DataFrame(
                 {
                     "norm": pdf["norm"].to_numpy(),

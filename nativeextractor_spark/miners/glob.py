@@ -173,16 +173,29 @@ def split_single_star(glob: str):
         if c == "\\":
             return None
         if c == "[":
+            # mirror _parse_set's do-while exactly: the first char after '['
+            # is ALWAYS a member (even ']'), '-' consumes its range-end
+            # char, and the set closes at the first unescaped ']' checked
+            # AFTER a member — a shallower scan would close ']'-first sets
+            # too early and miscount a member '*' as a top-level star
             i += 1
             last: str | None = None
-            while i < n:
-                if glob[i] == "]" and last != "\\":
-                    break
-                last = glob[i]
+            while True:
+                if i >= n:
+                    return None
+                ch = glob[i]
+                if last == "\\":
+                    pass  # escaped member
+                elif ch == "-" and last is not None:
+                    if i + 1 >= n:
+                        return None
+                    i += 1  # consume the range-end char
+                    ch = glob[i]
+                last = ch
                 i += 1
-            if i >= n:
-                return None
-            i += 1
+                if i < n and glob[i] == "]" and last != "\\":
+                    break
+            i += 1  # past ']'
         elif c == "*":
             stars.append(i)
             i += 1

@@ -681,12 +681,15 @@ FROM pairs WHERE bit_count(xor(sa, sb)) <= 3
 """
 
 
+_ANN_K = 5  # top-k shared by all ANN contract queries and the recall metric
+
+
 def q_ann_topk(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return cosine_topk_bruteforce(emb, queries, k=5)
+    return cosine_topk_bruteforce(emb, queries, k=_ANN_K)
 
 
 O_ANN_TOPK = """
@@ -712,7 +715,7 @@ def q_ann_lsh(spark, sf_dir):
     queries = emb.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return cosine_topk_lsh(emb, queries, k=5, n_planes=6, dim=64)
+    return cosine_topk_lsh(emb, queries, k=_ANN_K, n_planes=6, dim=64)
 
 
 def _ann_lsh_oracle_sql() -> str:
@@ -758,7 +761,7 @@ def q_ann_ivf(spark, sf_dir):
     queries = emb.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return cosine_topk_ivf(emb, queries, k=5, n_centroids=8, nprobe=2)
+    return cosine_topk_ivf(emb, queries, k=_ANN_K, n_centroids=8, nprobe=2)
 
 
 def _cos_sql(a, b):
@@ -810,7 +813,7 @@ def q_ann_ivf_kmeans(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return cosine_topk_ivf(
-        emb, queries, k=5, n_centroids=8, nprobe=2, codebook="kmeans"
+        emb, queries, k=_ANN_K, n_centroids=8, nprobe=2, codebook="kmeans"
     )
 
 
@@ -884,7 +887,11 @@ SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5
 """
 
 
-O_ANN_IVF_KMEANS = _ann_ivf_kmeans_oracle_sql()
+# built lazily inside build_oracles(): the builder reads the sf0.01
+# parquet and trains the codebook — import must stay I/O-free
+from functools import lru_cache as _lru_cache
+
+_ann_ivf_kmeans_oracle_sql = _lru_cache(maxsize=1)(_ann_ivf_kmeans_oracle_sql)
 
 
 def q_ann_recall(spark, sf_dir):
@@ -912,7 +919,7 @@ def q_ann_recall(spark, sf_dir):
                 "query_id",
                 F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
                 F.round(
-                    F.coalesce(F.col("hits"), F.lit(0)) / F.lit(5.0), 6
+                    F.coalesce(F.col("hits"), F.lit(0)) / F.lit(float(_ANN_K)), 6
                 ).alias("recall_at_k"),
             )
         )
@@ -922,11 +929,12 @@ def q_ann_recall(spark, sf_dir):
     return out
 
 
-O_ANN_RECALL = f"""
+def _ann_recall_oracle_sql() -> str:
+    return f"""
 WITH exact AS ({O_ANN_TOPK}),
 lsh AS ({O_ANN_LSH}),
 ivf AS ({O_ANN_IVF}),
-ivfk AS ({O_ANN_IVF_KMEANS}),
+ivfk AS ({_ann_ivf_kmeans_oracle_sql()}),
 qids AS (SELECT DISTINCT query_id FROM exact),
 methods AS (SELECT 'lsh' AS method UNION ALL SELECT 'ivf'
             UNION ALL SELECT 'ivf_kmeans'),
@@ -943,7 +951,7 @@ h AS (
 )
 SELECT m.method, q.query_id,
        coalesce(h.hits, 0)::BIGINT AS hits,
-       round(coalesce(h.hits, 0) / 5.0, 6) AS recall_at_k
+       round(coalesce(h.hits, 0) / {float(_ANN_K)}, 6) AS recall_at_k
 FROM methods m CROSS JOIN qids q
 LEFT JOIN h ON h.method = m.method AND h.query_id = q.query_id
 """
@@ -1509,8 +1517,8 @@ def build_oracles() -> dict[str, str]:
         "simhash_dup_pairs": O_SIMHASH_DUP_PAIRS,
         "ann_lsh": O_ANN_LSH,
         "ann_ivf": O_ANN_IVF,
-        "ann_ivf_kmeans": O_ANN_IVF_KMEANS,
-        "ann_recall": O_ANN_RECALL,
+        "ann_ivf_kmeans": _ann_ivf_kmeans_oracle_sql(),
+        "ann_recall": _ann_recall_oracle_sql(),
         "embedding_dup_pairs": O_EMBEDDING_DUP_PAIRS,
         "multimodal_features": O_MULTIMODAL_FEATURES,
     }

@@ -196,7 +196,10 @@ def simhash(
     in ANSI SQL so the signature is oracle-checkable; ``xx64`` = xxhash64
     (cheapest, JVM engines only); ``blake2b`` = blake2b-8 (kernel only).
     """
+    if engine not in ("project", "agg", "kernel"):
+        raise ValueError(f"unknown engine {engine!r}")
     if token_hash == "blake2b" or engine == "kernel":
+        # blake2b has no SQL expression — kernel is the only engine for it
         return _simhash_kernel(df, text_col, id_col, bits, token_hash)
     toks = _simhash_tokens_sql(text_col)
     hashes = _simhash_hashes_sql(toks, token_hash)
@@ -217,8 +220,7 @@ def simhash(
         return df.select(
             F.col(id_col).alias("doc_id"), F.expr(sig).alias("simhash")
         )
-    if engine != "agg":
-        raise ValueError(f"unknown engine {engine!r}")
+    # engine == "agg" (validated above):
     # explode_outer keeps empty docs as a null-token row; every vote sum is
     # then NULL for that doc and the final bit test (NULL > 0 = false)
     # yields signature 0 — kernel parity without a separate branch

@@ -97,35 +97,16 @@ def cosine_topk_lsh(
     Returns (query_id, vec_id, cosine, rank).
     """
     planes = _hyperplanes(dim, n_planes, seed)
-
-    def bucket_expr(col):
-        bits = []
-        for p in range(n_planes):
-            proj = F.aggregate(
-                F.zip_with(
-                    col,
-                    F.array(*[F.lit(float(x)) for x in planes[p]]),
-                    lambda x, y: x.cast("double") * y,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
-        out = F.lit(0)
-        for b in bits:
-            out = out + b
-        return out
-
     v = vectors.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("_v"),
-        bucket_expr(F.col(vec_col)).alias("bucket"),
+        _sign_bucket_expr(F.col(vec_col), planes).alias("bucket"),
     )
     q = F.broadcast(
         queries.select(
             F.col(query_id_col).alias("query_id"),
             F.col(vec_col).alias("_qv"),
-            bucket_expr(F.col(vec_col)).alias("bucket"),
+            _sign_bucket_expr(F.col(vec_col), planes).alias("bucket"),
         )
     )
     sim = (

@@ -223,3 +223,21 @@ def test_prefiltered_scan_equals_naive_walk(text, glob):
     assert reference_glob_scan(text, glob) == _reference_glob_scan_naive(
         text, glob
     ), f"text={text!r} glob={glob!r}"
+
+
+def test_bracket_first_set_star_is_not_a_wildcard():
+    """Regression (r3 review): a ']'-first set whose '*' is a set MEMBER
+    must not be counted as a top-level star — 'a[]*x[y]k' routes to the
+    exact engine (the '['-quirk makes it delimiter-starting) and mines
+    identically to the naive walk instead of crashing in fast_star setup."""
+    from nativeextractor_spark.miners.glob import split_single_star
+    from nativeextractor_spark.miners.glob_exact import (
+        _reference_glob_scan_naive,
+    )
+
+    g = "a[]*x[y]k"
+    assert is_glob(g)
+    assert split_single_star(g) is None  # '*' is inside the set
+    m = GlobMiner(g)
+    text = "ax yk a]k axk"
+    assert _spans(m, text) == _reference_glob_scan_naive(text, g)

@@ -96,8 +96,6 @@ def test_user_data_slices():
 def test_load_rejects_cyclic_offsets(tmp_path):
     """A crafted file whose edge offsets don't strictly decrease (postorder)
     must raise ValueError, not RecursionError."""
-    import struct
-
     import pytest
 
     from nativeextractor_spark.io.patty import _EDGE, _HEADER, _NODE, MAGIC, PattyTrie
@@ -105,8 +103,6 @@ def test_load_rejects_cyclic_offsets(tmp_path):
     p = tmp_path / "cyclic.patty"
     PattyTrie.from_aliases(["ab", "ac"]).save(str(p))
     blob = bytearray(p.read_bytes())
-    root_offset = struct.unpack_from("<Q", blob, len(blob) - 2 * 8 - len(b""))  # noqa
-    # parse header properly
     (_m, _n, _e, _s, size, lookup_len, data_len, root, _do) = _HEADER.unpack_from(blob, 0)
     # point the root's first edge at the root itself → cycle
     edge_pos = root + _NODE.size
@@ -118,8 +114,6 @@ def test_load_rejects_cyclic_offsets(tmp_path):
 
 
 def test_load_rejects_out_of_bounds_child(tmp_path):
-    import struct
-
     import pytest
 
     from nativeextractor_spark.io.patty import _EDGE, _HEADER, _NODE, PattyTrie
