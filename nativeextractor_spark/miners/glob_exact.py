@@ -368,8 +368,12 @@ def fast_star_class(glob: str):
       never cross token boundaries and consume a fixed char count);
     - the glob is not delimiter-starting (entry skip + anchored prefilter
       exist — note the raw-'[' quirk makes every set-STARTING glob
-      delimiter-starting) and B does not start with ``[`` (same quirk
-      would suppress the rest recursion's entry skip).
+      delimiter-starting).
+
+    B starting with ``[`` IS in the class: the same quirk marks such a
+    rest delimiter-starting, so its recursion never entry-skips a
+    delimiter run — the scan simply drops the skip-probe (every possible
+    leak is then in-range and cannot move the guard).
     """
     from nativeextractor_spark.miners.glob import (
         regex_engine_safe,
@@ -380,7 +384,7 @@ def fast_star_class(glob: str):
     if sp is None:
         return None
     a, b = sp
-    if not a or not b or b[0] == "[":
+    if not a or not b:
         return None
     if _starts_with_delimiter(glob):
         return None
@@ -406,7 +410,15 @@ def _fast_star_res(glob: str):
         f"|(?P<pre>{translate_fragment(a)}))"
     )
     b_re = compile_cached(translate_fragment(b))
-    return combo_re, b_re
+    from nativeextractor_spark.miners.glob import (
+        _starts_with_delimiter as _glob_swd,
+    )
+
+    # a delimiter-starting rest (raw-'[' quirk: any set-starting B) never
+    # entry-skips, so the q=pos0 attempt cannot mark_end past d* and the
+    # skip-probe must not run
+    rest_skips = not _glob_swd(b)
+    return combo_re, b_re, rest_skips
 
 
 def fast_star_scan(text: str, glob: str) -> list[tuple[int, int]]:
@@ -451,7 +463,7 @@ def fast_star_scan(text: str, glob: str) -> list[tuple[int, int]]:
     Property-tested against :func:`_reference_glob_scan_naive` over random
     texts and class globs.
     """
-    combo_re, b_re = _fast_star_res(glob)
+    combo_re, b_re, rest_skips = _fast_star_res(glob)
     cand = _candidate_re(glob)
     delim_search = _delim_re().search
     nondelim_search = _nondelim_re().search
@@ -479,7 +491,7 @@ def fast_star_scan(text: str, glob: str) -> list[tuple[int, int]]:
                 pos = hitd.start() + 1 if hitd else n
                 continue
             pos0 = m.end()
-            if pos0 < n and is_delimiter(text[pos0]):
+            if rest_skips and pos0 < n and is_delimiter(text[pos0]):
                 # A consumed its whole token: the star walk can cross into
                 # the next token, and the FIRST rest attempt (entry skips
                 # the delimiter run) may mark_end even further out
@@ -493,9 +505,12 @@ def fast_star_scan(text: str, glob: str) -> list[tuple[int, int]]:
                         leak = mb.end()
                 pos = max(p + 1, failpos, leak)
             else:
-                # star died at the token end; every possible leak is
-                # in-range (<= d* < failpos) and cannot move the guard
-                hitd = delim_search(text, pos0)
+                # every possible leak is in-range (<= d* < failpos) and
+                # cannot move the guard; the star dies on the first
+                # delimiter STRICTLY after pos0 (a non-skipping rest can
+                # start with pos0 itself on a delimiter — the walk still
+                # crosses into the next token before dying)
+                hitd = delim_search(text, pos0 + 1)
                 pos = hitd.start() + 1 if hitd else n
             continue
         e = m.end()

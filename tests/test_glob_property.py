@@ -113,7 +113,7 @@ def test_auto_engine_selection():
     assert GlobMiner("ab*").engine == "regex"  # trailing star (r3 proof)
     assert GlobMiner("s*k").engine == "fast_star"  # single mid-star (r3)
     assert GlobMiner("b*?").engine == "fast_star"
-    assert GlobMiner("s*[kx]").engine == "exact"  # rest-set entry quirk
+    assert GlobMiner("s*[kx]").engine == "fast_star"  # set-rest (quirk: no skip-probe)
     assert GlobMiner("a*b*c").engine == "exact"  # multi-star
     assert GlobMiner("*k").engine == "exact"  # star-first: no prefilter
     assert GlobMiner("a.b").engine == "exact"  # literal delimiter
