@@ -448,6 +448,40 @@ def _o_triples_fixture() -> str:
     ) + ") AS t(subj, pred, obj, url)"
 
 
+def q_triple_weights_fixture(spark, sf_dir):
+    """Pins the weighting stage (map-side partial agg over triples): count,
+    min prob, distinct-url support per (subj, pred, obj)."""
+    from nativeextractor_spark.kg.triples import weight_triples
+
+    pages = spark.createDataFrame(_TRIPLE_PAGES, "url string, text string")
+    gaz = GazetteerMiner(AliasDict.from_aliases(_TRIPLE_DICT), label="NER")
+    return weight_triples(extract_triples(pages, [gaz])).select(
+        "subj", "pred", "obj", "weight", "min_prob", "n_urls"
+    )
+
+
+def _o_triple_weights_fixture() -> str:
+    """GROUP BY over the same pure-Python golden rows (with prob/url kept),
+    independently aggregated in DuckDB."""
+    from nativeextractor_spark.kg.triples import document_triples
+
+    gaz = GazetteerMiner(AliasDict.from_aliases(_TRIPLE_DICT), label="NER")
+    vals = []
+    for url, text in _TRIPLE_PAGES:
+        for s, _, p, o, _, u, _, _, prob in document_triples(url, text, [gaz]):
+            vals.append(
+                f"({_sql_str(s)}, {_sql_str(p)}, {_sql_str(o)},"
+                f" {_sql_str(u)}, {prob!r}::DOUBLE)"
+            )
+    return (
+        "WITH t(subj, pred, obj, url, prob) AS (VALUES "
+        + ", ".join(vals)
+        + ") SELECT subj, pred, obj, count(*) AS weight,"
+        " min(prob) AS min_prob, count(DISTINCT url) AS n_urls"
+        " FROM t GROUP BY subj, pred, obj"
+    )
+
+
 def q_cc_components(spark, sf_dir):
     edges = spark.createDataFrame(_CC_EDGES, "u long, v long")
     return connected_components(edges).select("node", "component")
@@ -1450,6 +1484,7 @@ QUERIES = {
     "sort_rank": q_sort_rank,
     "link_entities": q_link_entities,
     "triples_fixture": q_triples_fixture,
+    "triple_weights_fixture": q_triple_weights_fixture,
     "cc_components": q_cc_components,
     "canonical_groups": q_canonical_groups,
     "dedup_exact": q_dedup_exact,
@@ -1494,6 +1529,7 @@ def build_oracles() -> dict[str, str]:
         "sort_rank": O_SORT_RANK,
         "link_entities": O_LINK_ENTITIES,
         "triples_fixture": _o_triples_fixture(),
+        "triple_weights_fixture": _o_triple_weights_fixture(),
         "cc_components": O_CC_COMPONENTS,
         "canonical_groups": O_CANONICAL_GROUPS,
         "dedup_exact": O_DEDUP_EXACT,
