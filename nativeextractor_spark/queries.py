@@ -1148,6 +1148,124 @@ FROM documents
 # --------------------------------------------------------------------------
 
 
+def _docs_with_lines(spark, sf_dir):
+    """documents → a deterministic multi-line corpus (both engines build
+    the identical strings): words chunked into 5-token lines; every 3rd doc
+    gets a shared boilerplate header line (cross-doc duplicate); every 7th
+    doc repeats its own first line (intra-doc duplicate)."""
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
+    toks = "split(text, ' ')"
+    body = (
+        f"array_join(transform(sequence(1, greatest(cast(ceil(size({toks}) / 5.0) as int), 1)),"
+        f" i -> array_join(slice({toks}, (i-1)*5+1, 5), ' ')), chr(10))"
+    )
+    line1 = f"array_join(slice({toks}, 1, 5), ' ')"
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("shared boilerplate header line\n"),
+            ).otherwise(F.lit("")),
+            F.expr(body),
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat(F.lit("\n"), F.expr(line1))
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+_DOCS_WITH_LINES_SQL = """
+t0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 200),
+l0 AS (SELECT doc_id,
+        array_to_string(list_transform(range(1, greatest(cast(ceil(len(toks) / 5.0) AS int), 1) + 1),
+          i -> array_to_string(list_slice(toks, (i-1)*5+1, (i-1)*5+5), ' ')), chr(10)) AS body,
+        array_to_string(list_slice(toks, 1, 5), ' ') AS line1
+      FROM t0),
+d AS (SELECT doc_id,
+       (CASE WHEN doc_id % 3 = 0 THEN 'shared boilerplate header line' || chr(10) ELSE '' END)
+       || body
+       || (CASE WHEN doc_id % 7 = 0 THEN chr(10) || line1 ELSE '' END) AS text
+      FROM l0)
+"""
+
+
+def q_gopher_repetition(spark, sf_dir):
+    from nativeextractor_spark.textops.lines import gopher_repetition
+
+    return gopher_repetition(_docs_with_lines(spark, sf_dir))
+
+
+O_GOPHER_REPETITION = f"""
+WITH {_DOCS_WITH_LINES_SQL},
+lr AS (SELECT doc_id, length(text) AS n_chars, unnest(string_split(text, chr(10))) AS line FROM d),
+lc AS (SELECT doc_id, n_chars, line, count(*) AS c FROM lr GROUP BY doc_id, n_chars, line),
+ls AS (SELECT doc_id, n_chars, sum(c) AS n_lines, sum(c - 1) AS dup_lines,
+              sum(c * length(line)) AS line_chars, sum((c - 1) * length(line)) AS dup_line_chars
+       FROM lc GROUP BY doc_id, n_chars),
+tk AS (SELECT doc_id, length(text) AS n_chars, regexp_split_to_array(text, '[ \\n]') AS toks FROM d),
+g AS (SELECT doc_id, n_chars, n,
+        unnest(list_transform(range(1, greatest(len(toks) - n + 1, 1) + 1),
+          i -> array_to_string(list_slice(toks, i, i + n - 1), ' '))) AS gram
+      FROM tk CROSS JOIN (SELECT unnest([2,3,4,5,6,7,8,9,10]) AS n)),
+gc AS (SELECT doc_id, n_chars, n, gram, count(*) AS c FROM g GROUP BY doc_id, n_chars, n, gram),
+gr AS (SELECT *, row_number() OVER (PARTITION BY doc_id, n ORDER BY c DESC, gram DESC) AS r FROM gc),
+pn AS (SELECT doc_id, n_chars, n,
+         max(CASE WHEN r = 1 THEN c * length(gram) END) AS top_chars,
+         sum(CASE WHEN c > 1 THEN c * length(gram) ELSE 0 END) AS dup_chars
+       FROM gr GROUP BY doc_id, n_chars, n),
+fr AS (SELECT doc_id, n,
+         CASE WHEN n <= 4 THEN floor(top_chars * 1000000.0 / greatest(n_chars, 1)) / 1000000
+              ELSE floor(dup_chars * 1000000.0 / greatest(n_chars, 1)) / 1000000 END AS frac
+       FROM pn),
+gw AS (SELECT doc_id,
+         max(CASE WHEN n = 2 THEN frac END) AS t2, max(CASE WHEN n = 3 THEN frac END) AS t3,
+         max(CASE WHEN n = 4 THEN frac END) AS t4, max(CASE WHEN n = 5 THEN frac END) AS d5,
+         max(CASE WHEN n = 6 THEN frac END) AS d6, max(CASE WHEN n = 7 THEN frac END) AS d7,
+         max(CASE WHEN n = 8 THEN frac END) AS d8, max(CASE WHEN n = 9 THEN frac END) AS d9,
+         max(CASE WHEN n = 10 THEN frac END) AS d10
+       FROM fr GROUP BY doc_id)
+SELECT ls.doc_id,
+       floor(dup_lines * 1000000.0 / greatest(n_lines, 1)) / 1000000 AS dup_line_frac,
+       floor(dup_line_chars * 1000000.0 / greatest(line_chars, 1)) / 1000000 AS dup_line_char_frac,
+       coalesce(t2, 0.0) AS top2gram_char_frac, coalesce(t3, 0.0) AS top3gram_char_frac,
+       coalesce(t4, 0.0) AS top4gram_char_frac, coalesce(d5, 0.0) AS dup5gram_char_frac,
+       coalesce(d6, 0.0) AS dup6gram_char_frac, coalesce(d7, 0.0) AS dup7gram_char_frac,
+       coalesce(d8, 0.0) AS dup8gram_char_frac, coalesce(d9, 0.0) AS dup9gram_char_frac,
+       coalesce(d10, 0.0) AS dup10gram_char_frac,
+       (floor(dup_lines * 1000000.0 / greatest(n_lines, 1)) / 1000000 <= 0.30
+        AND floor(dup_line_chars * 1000000.0 / greatest(line_chars, 1)) / 1000000 <= 0.20
+        AND coalesce(t2, 0.0) <= 0.20 AND coalesce(t3, 0.0) <= 0.18 AND coalesce(t4, 0.0) <= 0.16
+        AND coalesce(d5, 0.0) <= 0.15 AND coalesce(d6, 0.0) <= 0.14 AND coalesce(d7, 0.0) <= 0.13
+        AND coalesce(d8, 0.0) <= 0.12 AND coalesce(d9, 0.0) <= 0.11 AND coalesce(d10, 0.0) <= 0.10)
+       AS repetition_pass
+FROM ls LEFT JOIN gw ON gw.doc_id = ls.doc_id
+"""
+
+
+def q_line_dedup(spark, sf_dir):
+    from nativeextractor_spark.textops.lines import drop_duplicate_lines
+
+    return drop_duplicate_lines(_docs_with_lines(spark, sf_dir))
+
+
+O_LINE_DEDUP = f"""
+WITH {_DOCS_WITH_LINES_SQL},
+r AS (SELECT doc_id, u.pos AS pos, u.line AS line FROM (
+        SELECT doc_id, unnest(list_transform(string_split(text, chr(10)),
+               (x, i) -> {{'pos': i - 1, 'line': x}})) AS u FROM d)),
+f AS (SELECT line, count(*) AS cnt, min(struct_pack(d := doc_id, p := pos)) AS first FROM r GROUP BY line),
+kept AS (SELECT r.doc_id, r.pos, r.line FROM r JOIN f USING (line)
+         WHERE f.cnt = 1 OR (r.doc_id = f.first.d AND r.pos = f.first.p)),
+reb AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text, count(*) AS n_lines
+        FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, count(*) AS total FROM r GROUP BY doc_id)
+SELECT t.doc_id, coalesce(reb.text, '') AS text, coalesce(reb.n_lines, 0) AS n_lines,
+       t.total - coalesce(reb.n_lines, 0) AS n_removed
+FROM tot t LEFT JOIN reb ON reb.doc_id = t.doc_id
+"""
+
+
 def q_gopher_filters(spark, sf_dir):
     from nativeextractor_spark.textops.quality import gopher_quality_filters
 
@@ -1505,6 +1623,8 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "winnow_fp": q_winnow_fp,
     "gopher_filters": q_gopher_filters,
+    "gopher_repetition": q_gopher_repetition,
+    "line_dedup": q_line_dedup,
     "tpch_q1": q_tpch_q1,
     "tpch_q3_topk": q_tpch_q3_topk,
     "events_window": q_events_window,
@@ -1543,6 +1663,8 @@ def build_oracles() -> dict[str, str]:
         "fingerprint": O_FINGERPRINT,
         "winnow_fp": O_WINNOW_FP,
         "gopher_filters": O_GOPHER_FILTERS,
+        "gopher_repetition": O_GOPHER_REPETITION,
+        "line_dedup": O_LINE_DEDUP,
         "tpch_q1": O_TPCH_Q1,
         "tpch_q3_topk": O_TPCH_Q3_TOPK,
         "events_window": O_EVENTS_WINDOW,

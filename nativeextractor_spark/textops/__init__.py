@@ -16,6 +16,10 @@ from nativeextractor_spark.textops.quality import (
     token_counts,
     fingerprint,
 )
+from nativeextractor_spark.textops.lines import (
+    gopher_repetition,
+    drop_duplicate_lines,
+)
 
 __all__ = [
     "dedup_exact",
@@ -28,6 +32,8 @@ __all__ = [
     "cosine_topk_lsh",
     "language_id",
     "quality_scores",
+    "gopher_repetition",
+    "drop_duplicate_lines",
     "token_counts",
     "fingerprint",
 ]

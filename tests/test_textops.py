@@ -366,3 +366,52 @@ def test_embedding_dup_pairs_multiband_recall(spark):
     r1, r4 = recall(1), recall(4)
     assert r4 >= r1
     assert r4 >= 0.9, (r1, r4)
+
+
+def test_gopher_repetition_metrics(spark):
+    from nativeextractor_spark.textops.lines import gopher_repetition
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b\nc d\na b\ne f"),  # one duplicate line of four
+            (2, "clean doc\nwith two lines"),
+            (3, "rep rep rep rep rep rep"),  # degenerate repetition
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in gopher_repetition(df).collect()}
+    assert rows[1].dup_line_frac == 0.25
+    assert rows[1].dup_line_char_frac == 0.25
+    assert rows[2].dup_line_frac == 0.0 and rows[2].repetition_pass in (True, False)
+    # the count-weighted top-2gram fraction exceeds the 0.20 threshold on
+    # the degenerate doc -> filtered
+    assert rows[3].top2gram_char_frac > 0.2 and not rows[3].repetition_pass
+
+
+def test_drop_duplicate_lines_keep_first_and_idempotent(spark):
+    from nativeextractor_spark.textops.lines import drop_duplicate_lines
+
+    df = spark.createDataFrame(
+        [
+            (1, "hdr\nbody one\nhdr"),
+            (2, "hdr\nbody two"),
+            (3, "unique only"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in drop_duplicate_lines(df).collect()}
+    # 'hdr' survives only at (doc 1, pos 0); both other occurrences drop
+    assert out[1].text == "hdr\nbody one" and out[1].n_removed == 1
+    assert out[2].text == "body two" and out[2].n_removed == 1
+    assert out[3].text == "unique only" and out[3].n_removed == 0
+    # idempotent: running again removes nothing new
+    again = {
+        r.doc_id: r
+        for r in drop_duplicate_lines(
+            drop_duplicate_lines(df).select("doc_id", "text")
+        ).collect()
+    }
+    assert all(again[k].n_removed == 0 for k in again)
+    assert {k: v.text for k, v in again.items()} == {
+        k: v.text for k, v in out.items()
+    }
