@@ -5,6 +5,7 @@ from nativeextractor_spark.miners.builtin import (
     UrlMiner,
     DateMiner,
     RegexMiner,
+    TelephoneMiner,
     TEL_NO_PATTERN,
 )
 from nativeextractor_spark.miners.ner import GazetteerMiner, AliasDict

@@ -1266,6 +1266,48 @@ FROM tot t LEFT JOIN reb ON reb.doc_id = t.doc_id
 """
 
 
+def q_redact_pii(spark, sf_dir):
+    """PII redaction over the reference fixture pages (email/URL/telephone
+    miners → typed placeholders)."""
+    from nativeextractor_spark.textops.redact import redact_pii
+
+    return redact_pii(_fixture_pages_df(spark))
+
+
+# expected redacted fixture texts — hand-checked against FIXTURE_TEXTS:
+# each golden entity span (FIXTURES.md §2) replaced by its placeholder,
+# every other byte identical. Only changed pages are listed; the rest
+# pass through verbatim with 0 redactions.
+_REDACT_GOLDEN_CHANGED = {
+    "fixture://test.txt": (
+        "<TEL_NO>2222\n4444.2222.4444.2222\nřřřř <EMAIL>;+čččč\n\n"
+        "a <URL> xxd\n\n",
+        3,
+    ),
+    "fixture://regex_fixture_0.txt": (
+        "asds ad <TEL_NO> asdad\nadsadas <EMAIL> asds sdščččč---",
+        2,
+    ),
+    "fixture://test_glob.txt": (
+        "       abcdef\n  abc    def    \n<EMAIL>     \n[-bc\nC:\\Users\\Admin",
+        1,
+    ),
+    "fixture://glob/qmark2": ("<URL>", 1),
+}
+
+
+def _o_redact_pii() -> str:
+    vals = []
+    for url in sorted(FIXTURE_TEXTS):
+        text, n = _REDACT_GOLDEN_CHANGED.get(url, (FIXTURE_TEXTS[url], 0))
+        vals.append(f"({_sql_str(url)}, {_sql_str(text)}, {n})")
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(url, text, n_redactions)"
+    )
+
+
 def q_gopher_filters(spark, sf_dir):
     from nativeextractor_spark.textops.quality import gopher_quality_filters
 
@@ -1625,6 +1667,7 @@ QUERIES = {
     "gopher_filters": q_gopher_filters,
     "gopher_repetition": q_gopher_repetition,
     "line_dedup": q_line_dedup,
+    "redact_pii": q_redact_pii,
     "tpch_q1": q_tpch_q1,
     "tpch_q3_topk": q_tpch_q3_topk,
     "events_window": q_events_window,
@@ -1665,6 +1708,7 @@ def build_oracles() -> dict[str, str]:
         "gopher_filters": O_GOPHER_FILTERS,
         "gopher_repetition": O_GOPHER_REPETITION,
         "line_dedup": O_LINE_DEDUP,
+        "redact_pii": _o_redact_pii(),
         "tpch_q1": O_TPCH_Q1,
         "tpch_q3_topk": O_TPCH_Q3_TOPK,
         "events_window": O_EVENTS_WINDOW,

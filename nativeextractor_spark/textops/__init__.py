@@ -20,6 +20,7 @@ from nativeextractor_spark.textops.lines import (
     gopher_repetition,
     drop_duplicate_lines,
 )
+from nativeextractor_spark.textops.redact import redact_pii
 
 __all__ = [
     "dedup_exact",
@@ -34,6 +35,7 @@ __all__ = [
     "quality_scores",
     "gopher_repetition",
     "drop_duplicate_lines",
+    "redact_pii",
     "token_counts",
     "fingerprint",
 ]

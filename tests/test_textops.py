@@ -415,3 +415,25 @@ def test_drop_duplicate_lines_keep_first_and_idempotent(spark):
     assert {k: v.text for k, v in again.items()} == {
         k: v.text for k, v in out.items()
     }
+
+
+def test_redact_pii_spans_and_nulls(spark):
+    from nativeextractor_spark.textops import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            ("a", "mail me at blah@seznam.com today"),
+            ("b", "visit http://example.com/x, thanks"),
+            ("c", None),
+            ("d", ""),
+            ("e", "no pii here"),
+        ],
+        "url string, text string",
+    )
+    out = {r.url: r for r in redact_pii(df).collect()}
+    assert out["a"].text == "mail me at <EMAIL> today" and out["a"].n_redactions == 1
+    # URL miner strips trailing sentence punctuation
+    assert out["b"].text == "visit <URL>, thanks" and out["b"].n_redactions == 1
+    assert out["c"].text is None and out["c"].n_redactions == 0
+    assert out["d"].text == "" and out["d"].n_redactions == 0
+    assert out["e"].text == "no pii here" and out["e"].n_redactions == 0
