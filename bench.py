@@ -193,6 +193,22 @@ def _headline(spark, sf: float) -> dict[str, float]:
             engine="project",
         ).count(),
     )
+    # corpus-curation ops over a lines-ified view of the full sf pages
+    # table (5-token lines; pages carry no newlines natively)
+    from nativeextractor_spark.textops import (
+        drop_duplicate_lines,
+        gopher_repetition,
+    )
+
+    lines_df = pages.select(
+        F.col("url").alias("doc_id"),
+        F.expr(
+            "array_join(transform(sequence(1, greatest(cast(ceil(size(split(text, ' ')) / 5.0) as int), 1)),"
+            " i -> array_join(slice(split(text, ' '), (i-1)*5+1, 5), ' ')), chr(10))"
+        ).alias("text"),
+    ).localCheckpoint(eager=True)
+    timed("gopher_repetition", lambda: gopher_repetition(lines_df).count())
+    timed("line_dedup", lambda: drop_duplicate_lines(lines_df).count())
     timed("tpch_q1", lambda: QUERIES["tpch_q1"](spark, SF_DIR).count())
     timed("ann_topk", lambda: QUERIES["ann_topk"](spark, SF_DIR).count())
     # regex parity engine over the corpus: the vectorized DFA executor
