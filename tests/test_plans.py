@@ -143,3 +143,32 @@ def test_ivf_kmeans_matches_seed_plan_shape(spark):
     plan = _plan(df)
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
     assert df.count() > 0
+
+
+def test_gopher_repetition_plan_no_windows_partial_agg(spark):
+    """The repetition metrics must stay pure aggregates: no Window operator
+    (top-gram is a max(struct) aggregate), partial aggregation present."""
+    from nativeextractor_spark.textops.lines import gopher_repetition
+
+    df = spark.createDataFrame(
+        [(i, "w%d a b\nc d e" % i) for i in range(20)],
+        "doc_id long, text string",
+    )
+    plan = _plan(gopher_repetition(df))
+    assert "Window" not in plan, plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_line_dedup_single_line_shuffle(spark):
+    """drop_duplicate_lines shuffles on the line (groupBy + join back) and
+    per-doc reassembly — no window, no cartesian."""
+    from nativeextractor_spark.textops.lines import drop_duplicate_lines
+
+    df = spark.createDataFrame(
+        [(i, "hdr\nbody %d" % i) for i in range(20)],
+        "doc_id long, text string",
+    )
+    plan = _plan(drop_duplicate_lines(df))
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("HashAggregate") >= 2
