@@ -40,9 +40,7 @@ _ALPHA_PREFIX = ("L",)
 _DIGIT_CATS = frozenset({"Nd"})
 
 
-@lru_cache(maxsize=None)
-def _category_table() -> np.ndarray:
-    """uint8 class-bit table over all codepoints (one pass over unicodedata)."""
+def _build_category_table() -> np.ndarray:
     # bits: 1=space 2=punct 4=cntrl 8=alpha 16=digit
     table = np.zeros(_MAX_CP, dtype=np.uint8)
     cat = unicodedata.category
@@ -62,6 +60,45 @@ def _category_table() -> np.ndarray:
         table[cp] = bits
     for ch in _SPACE_SPECIALS:
         table[ord(ch)] |= 1
+    return table
+
+
+@lru_cache(maxsize=None)
+def _category_table() -> np.ndarray:
+    """uint8 class-bit table over all codepoints.
+
+    Building it costs ~1 s of per-process Python (1.1M unicodedata calls)
+    — with N fresh executor workers that is N seconds of first-task
+    latency. The table is therefore cached on local disk keyed by the
+    Unicode database version: the first process on a host builds and
+    writes it atomically, every other worker memory-maps it in
+    milliseconds. Falls back to building in-process on any I/O issue."""
+    import os
+    import tempfile
+
+    cache = os.path.join(
+        tempfile.gettempdir(),
+        f"nativeextractor_spark_ucd_{unicodedata.unidata_version}_"
+        f"{_MAX_CP}.npy",
+    )
+    try:
+        if os.path.exists(cache):
+            table = np.load(cache, mmap_mode="r")
+            if table.shape == (_MAX_CP,) and table.dtype == np.uint8:
+                return table
+    except Exception:
+        pass
+    table = _build_category_table()
+    try:
+        fd, tmp = tempfile.mkstemp(
+            dir=tempfile.gettempdir(), suffix=".npy.tmp"
+        )
+        os.close(fd)
+        np.save(tmp, table)
+        # np.save appends .npy to paths without the suffix
+        os.replace(tmp if tmp.endswith(".npy") else tmp + ".npy", cache)
+    except Exception:
+        pass
     return table
 
 
