@@ -113,3 +113,76 @@ def test_streaming_restart_resume(spark, tmp_path_factory):
     run_once()
     rows = {(r.url, r.str) for r in spark.read.parquet(out).collect()}
     assert rows == {("a", "p@q.rs"), ("b", "new@mail.io")}
+
+
+def test_streaming_exact_dedup_state_survives_restart(spark, tmp_path_factory):
+    """dedup_stream_exact suppresses duplicate texts ACROSS micro-batches
+    and across stream restarts (state lives in the checkpoint): batch 2
+    replays a batch-1 text plus a new one — only the new doc lands."""
+    from nativeextractor_spark.streaming import dedup_stream_exact
+
+    src = str(tmp_path_factory.mktemp("dd_src"))
+    out = str(tmp_path_factory.mktemp("dd_out")) + "/docs"
+    ck = str(tmp_path_factory.mktemp("dd_ck"))
+
+    def run_once():
+        stream = spark.readStream.schema("url string, text string").parquet(src)
+        deduped = dedup_stream_exact(stream)
+
+        def sink(batch_df, batch_id):
+            if not batch_df.isEmpty():
+                batch_df.write.mode("append").parquet(out)
+
+        q = (
+            deduped.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [("u1", "same text"), ("u2", "same text"), ("u3", "other text")],
+        "url string, text string",
+    ).write.mode("append").parquet(src)
+    run_once()
+    first = {r.text for r in spark.read.parquet(out).collect()}
+    assert first == {"same text", "other text"}
+    assert spark.read.parquet(out).count() == 2
+
+    spark.createDataFrame(
+        [("u4", "same text"), ("u5", "brand new")],
+        "url string, text string",
+    ).write.mode("append").parquet(src)
+    run_once()
+    rows = spark.read.parquet(out).collect()
+    assert {r.text for r in rows} == {"same text", "other text", "brand new"}
+    assert len(rows) == 3  # the replayed duplicate was suppressed by state
+
+
+def test_stateless_curation_ops_run_on_streams(spark, tmp_path_factory):
+    """The per-document curation operators are streaming-compatible as-is
+    (stateless projections): quality + redaction over a readStream."""
+    from nativeextractor_spark.textops.quality import quality_scores
+    from nativeextractor_spark.textops.redact import redact_pii
+
+    src = str(tmp_path_factory.mktemp("cur_src")) + "/data"
+    spark.createDataFrame(
+        [("u1", "mail a@b.com now please do"), ("u2", "plain words only here")],
+        "url string, text string",
+    ).write.parquet(src)
+    stream = spark.readStream.schema("url string, text string").parquet(src)
+    red = redact_pii(stream)
+    assert red.isStreaming
+    q = (
+        red.writeStream.format("memory")
+        .queryName("cur_red")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.url: r.text for r in spark.sql("select * from cur_red").collect()}
+    assert got["u1"] == "mail <EMAIL> now please do"
+
+    qs = quality_scores(stream.withColumnRenamed("url", "doc_id"))
+    assert qs.isStreaming
