@@ -167,7 +167,8 @@ def _headline(spark, sf: float) -> dict[str, float]:
             num_hashes=4,
             k=3,
             hash_flavor="xx64",
-            shingle="word",  # corpus-scale flavor: ~10x fewer shingles/page
+            shingle="word_hash",  # r3 scale flavor: token-hash shingles,
+            # no per-shingle string building (7-8x the string flavor)
         ).count(),
     )
     # star-glob scan over the pages table: the r3 fast_star engine (attempt

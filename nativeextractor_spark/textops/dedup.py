@@ -71,11 +71,13 @@ def minhash_bands(
     """MinHash signature rows (doc_id, band, min_hash).
 
     min_hash_i = min over shingles of hash(i || shingle); banding with r=1
-    rows/band. Flavors: ``md5`` is reproducible in ANSI SQL (DuckDB oracle);
-    ``xx64`` is the scale path (xxhash64 ≈ 10× cheaper per shingle — at
-    corpus scale the hash dominates the scan). Both stay entirely JVM-side.
+    rows/band. Hash flavors: ``md5`` is reproducible in ANSI SQL (DuckDB
+    oracle); ``xx64`` is the scale path. Shingle flavors: ``char``/``word``
+    build shingle STRINGS; ``word_hash`` (r3, xx64-only) identifies a
+    shingle by an xxhash64 combine of its token hashes — no per-shingle
+    string allocation, measured 7-8x faster on the 50k-page table. All
+    flavors stay entirely JVM-side.
     """
-    sh = _shingle_expr(text_col, k, shingle)
     bands = F.array(*[F.lit(i) for i in range(num_hashes)])
     if hash_flavor == "md5":
         hash_fn = lambda s: F.md5(F.concat(F.col("band").cast("string"), s))
@@ -83,14 +85,38 @@ def minhash_bands(
         hash_fn = lambda s: F.xxhash64(F.col("band"), s)
     else:
         raise ValueError(f"unknown hash_flavor {hash_flavor!r}")
+    if shingle == "word_hash":
+        # fastest scale flavor: shingle identity = xxhash64 over the k
+        # member TOKEN HASHES instead of a built k-token string — skips
+        # the per-shingle slice+join allocations, measured 7-8x faster
+        # than the string flavor on the 50k-page table. Long-typed
+        # shingles require the xx64 band hash.
+        if hash_flavor != "xx64":
+            raise ValueError("shingle='word_hash' requires hash_flavor='xx64'")
+        toks = f"filter(split(lower({text_col}), '\\\\s+'), t -> t <> '')"
+        combine = ", ".join(f"try_element_at(_th, i + {j})" for j in range(k))
+        base = df.select(
+            F.col(id_col).alias("doc_id"),
+            F.expr(f"transform({toks}, t -> xxhash64(t))").alias("_th"),
+        ).select(
+            "doc_id",
+            F.expr(
+                f"transform(sequence(1, greatest(size(_th) - {k - 1}, 1)),"
+                f" i -> xxhash64({combine}))"
+            ).alias("shingles"),
+        )
+    else:
+        base = df.select(
+            F.col(id_col).alias("doc_id"),
+            _shingle_expr(text_col, k, shingle).alias("shingles"),
+        )
     # NOTE the explode-then-hash shape is deliberate: the GenerateExec
     # materializes the shingle array once per document and the per-band rows
     # reference it. Computing all band minhashes in one projection reads
     # nicer but CollapseProject inlines the (expensive) shingling expression
     # into every band column — 4x the split/join work, measured 4-5x slower.
     return (
-        df.select(F.col(id_col).alias("doc_id"), sh.alias("shingles"))
-        .select("doc_id", F.explode(bands).alias("band"), "shingles")
+        base.select("doc_id", F.explode(bands).alias("band"), "shingles")
         .select(
             "doc_id",
             "band",

@@ -437,3 +437,32 @@ def test_redact_pii_spans_and_nulls(spark):
     assert out["c"].text is None and out["c"].n_redactions == 0
     assert out["d"].text == "" and out["d"].n_redactions == 0
     assert out["e"].text == "no pii here" and out["e"].n_redactions == 0
+
+
+def test_minhash_word_hash_flavor(spark):
+    """The word_hash scale flavor must find exact-duplicate pairs like the
+    string flavors, be deterministic, and reject non-xx64 band hashes."""
+    import pytest
+
+    from nativeextractor_spark.textops import lsh_duplicate_pairs, minhash_bands
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "the quick brown fox jumps over the lazy dog tonight"),
+            (3, "completely different words appear in this document body"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_duplicate_pairs(
+            df, num_hashes=4, k=3, hash_flavor="xx64", shingle="word_hash"
+        ).collect()
+    }
+    assert (1, 2) in pairs and not any(3 in p for p in pairs)
+    a = sorted(map(tuple, minhash_bands(df, hash_flavor="xx64", shingle="word_hash").collect()))
+    b = sorted(map(tuple, minhash_bands(df, hash_flavor="xx64", shingle="word_hash").collect()))
+    assert a == b
+    with pytest.raises(ValueError, match="word_hash"):
+        minhash_bands(df, hash_flavor="md5", shingle="word_hash")
