@@ -74,15 +74,29 @@ def _category_table() -> np.ndarray:
     writes it atomically, every other worker memory-maps it in
     milliseconds. Falls back to building in-process on any I/O issue."""
     import os
+    import stat as statmod
     import tempfile
 
-    cache = os.path.join(
+    # per-user private cache dir: a world-shared /tmp path would let any
+    # local user pre-plant a well-shaped table and silently poison every
+    # character-class decision (delimiters, PII spans, glob matches)
+    cache_dir = os.path.join(
         tempfile.gettempdir(),
-        f"nativeextractor_spark_ucd_{unicodedata.unidata_version}_"
-        f"{_MAX_CP}.npy",
+        f"nativeextractor_spark_{os.getuid() if hasattr(os, 'getuid') else 'u'}",
     )
+    cache = os.path.join(
+        cache_dir,
+        f"ucd_{unicodedata.unidata_version}_{_MAX_CP}.npy",
+    )
+
+    def _dir_trusted() -> bool:
+        st = os.stat(cache_dir)
+        owned = not hasattr(os, "getuid") or st.st_uid == os.getuid()
+        return owned and not (st.st_mode & (statmod.S_IWGRP | statmod.S_IWOTH))
+
     try:
-        if os.path.exists(cache):
+        os.makedirs(cache_dir, mode=0o700, exist_ok=True)
+        if _dir_trusted() and os.path.exists(cache):
             table = np.load(cache, mmap_mode="r")
             if table.shape == (_MAX_CP,) and table.dtype == np.uint8:
                 return table
@@ -90,13 +104,13 @@ def _category_table() -> np.ndarray:
         pass
     table = _build_category_table()
     try:
-        fd, tmp = tempfile.mkstemp(
-            dir=tempfile.gettempdir(), suffix=".npy.tmp"
-        )
-        os.close(fd)
-        np.save(tmp, table)
-        # np.save appends .npy to paths without the suffix
-        os.replace(tmp if tmp.endswith(".npy") else tmp + ".npy", cache)
+        if _dir_trusted():
+            # suffix .npy so np.save writes the mkstemp file itself (no
+            # stray placeholder left behind), then atomic rename
+            fd, tmp = tempfile.mkstemp(dir=cache_dir, suffix=".npy")
+            os.close(fd)
+            np.save(tmp, table)
+            os.replace(tmp, cache)
     except Exception:
         pass
     return table

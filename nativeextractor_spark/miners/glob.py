@@ -33,6 +33,7 @@ per-miner scan rule, ``/root/reference/src/extractor.c:59``).
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 
 from nativeextractor_spark.functions.unicode import class_body
 from nativeextractor_spark.miners.base import PatternMiner
@@ -67,10 +68,12 @@ def is_glob(glob: str) -> bool:
     return brackets == 0
 
 
+@lru_cache(maxsize=4096)
 def _starts_with_delimiter(glob: str) -> bool:
     """Can the glob's first element match a delimiter? (glob_entities.c:80-121
     — note the reference scans the raw '[' char too, so every set-starting
-    glob reports True, '[' being punctuation.)"""
+    glob reports True, '[' being punctuation.) Cached: the exact engine
+    probes it per attempt. THE canonical copy — glob_exact imports it."""
     from nativeextractor_spark.functions.unicode import is_delimiter
 
     if not glob:

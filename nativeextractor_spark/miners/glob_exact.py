@@ -20,6 +20,7 @@ property-tested) and on every reference test fixture.
 from __future__ import annotations
 
 from nativeextractor_spark.functions.unicode import is_delimiter
+from nativeextractor_spark.miners.glob import _starts_with_delimiter
 
 
 class _Cursor:
@@ -87,34 +88,6 @@ class _Cursor:
 
 
 from functools import lru_cache as _lru_cache
-
-
-@_lru_cache(maxsize=4096)
-def _starts_with_delimiter(glob: str) -> bool:
-    i = 0
-    c = glob[0] if glob else ""
-    if c == "[":
-        escape = False
-        while True:
-            if i >= len(glob):
-                return False
-            ch = glob[i]
-            if ch == "]" and not escape:
-                return False
-            if ch == "\\" and not escape:
-                escape = True
-                i += 1
-                continue
-            escape = False
-            if is_delimiter(ch):
-                return True
-            i += 1
-    if c in "*?":
-        return False
-    if c == "\\":
-        i += 1
-        c = glob[i] if i < len(glob) else ""
-    return bool(c) and is_delimiter(c)
 
 
 _DELIM_RE = None
@@ -410,14 +383,10 @@ def _fast_star_res(glob: str):
         f"|(?P<pre>{translate_fragment(a)}))"
     )
     b_re = compile_cached(translate_fragment(b))
-    from nativeextractor_spark.miners.glob import (
-        _starts_with_delimiter as _glob_swd,
-    )
-
     # a delimiter-starting rest (raw-'[' quirk: any set-starting B) never
     # entry-skips, so the q=pos0 attempt cannot mark_end past d* and the
     # skip-probe must not run
-    rest_skips = not _glob_swd(b)
+    rest_skips = not _starts_with_delimiter(b)
     return combo_re, b_re, rest_skips
 
 

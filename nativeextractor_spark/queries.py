@@ -1205,7 +1205,7 @@ ls AS (SELECT doc_id, n_chars, sum(c) AS n_lines, sum(c - 1) AS dup_lines,
        FROM lc GROUP BY doc_id, n_chars),
 tk AS (SELECT doc_id, length(text) AS n_chars, regexp_split_to_array(text, '[ \\n]') AS toks FROM d),
 g AS (SELECT doc_id, n_chars, n,
-        unnest(list_transform(range(1, greatest(len(toks) - n + 1, 1) + 1),
+        unnest(list_transform(range(1, greatest(len(toks) - n + 1, 0) + 1),
           i -> array_to_string(list_slice(toks, i, i + n - 1), ' '))) AS gram
       FROM tk CROSS JOIN (SELECT unnest([2,3,4,5,6,7,8,9,10]) AS n)),
 gc AS (SELECT doc_id, n_chars, n, gram, count(*) AS c FROM g GROUP BY doc_id, n_chars, n, gram),
@@ -1256,7 +1256,8 @@ r AS (SELECT doc_id, u.pos AS pos, u.line AS line FROM (
                (x, i) -> {{'pos': i - 1, 'line': x}})) AS u FROM d)),
 f AS (SELECT line, count(*) AS cnt, min(struct_pack(d := doc_id, p := pos)) AS first FROM r GROUP BY line),
 kept AS (SELECT r.doc_id, r.pos, r.line FROM r JOIN f USING (line)
-         WHERE f.cnt = 1 OR (r.doc_id = f.first.d AND r.pos = f.first.p)),
+         WHERE length(line) < 1 OR f.cnt = 1
+            OR (r.doc_id = f.first.d AND r.pos = f.first.p)),
 reb AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text, count(*) AS n_lines
         FROM kept GROUP BY doc_id),
 tot AS (SELECT doc_id, count(*) AS total FROM r GROUP BY doc_id)

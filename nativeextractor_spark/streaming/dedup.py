@@ -36,14 +36,19 @@ def dedup_stream_exact(
         raise ValueError(
             "dedup_stream_exact expects a streaming DataFrame (readStream)"
         )
-    hashed = pages_stream.withColumn(
-        "_text_sha", F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256)
-    )
+    key = "_ne_dedup_sha"
+    if key in pages_stream.columns:
+        raise ValueError(f"input stream already has a {key!r} column")
+    # NULL text hashes to NULL (not coalesced to ''): dropDuplicates groups
+    # NULL keys together, so NULL-text docs dedup among THEMSELVES and
+    # never against empty-string docs — the same grouping the batch
+    # dedup_exact's groupBy(sha2(text)) produces
+    hashed = pages_stream.withColumn(key, F.sha2(F.col(text_col), 256))
     if watermark is not None:
         col, delay = watermark
         out = hashed.withWatermark(col, delay).dropDuplicatesWithinWatermark(
-            ["_text_sha"]
+            [key]
         )
     else:
-        out = hashed.dropDuplicates(["_text_sha"])
-    return out.drop("_text_sha")
+        out = hashed.dropDuplicates([key])
+    return out.drop(key)

@@ -61,13 +61,16 @@ def gopher_repetition(
     sizes together. Returns one row per doc with the metrics, per-rule
     ``ok_*`` flags, and ``repetition_pass``.
     """
-    lines = F.split(F.col(text_col), "\n")
+    # NULL text is treated as empty (split(NULL) would otherwise emit
+    # zero rows and the document would vanish from the output)
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(text, "\n")
     # tokens must not span line breaks; the single-char class keeps the
     # expression reproducible verbatim in the DuckDB oracle
-    toks = F.split(F.col(text_col), "[ \n]")
+    toks = F.split(text, "[ \n]")
     base = df.select(
         F.col(id_col).alias("doc_id"),
-        F.length(text_col).alias("n_chars"),
+        F.length(text).alias("n_chars"),
         lines.alias("_lines"),
         toks.alias("_toks"),
     )
@@ -90,13 +93,17 @@ def gopher_repetition(
 
     # --- n-gram stats: ONE explode for all n in 2..10 ---------------------
     ns = sorted(_TOP_NGRAM_MAX) + sorted(_DUP_NGRAM_MAX)
+    # slice-to-true-length: a doc with fewer than n tokens has NO n-grams
+    # (fraction 0 via the pivot coalesce) — Spark's sequence(1, 0) counts
+    # DOWN, so the padded transform is trimmed with an outer slice instead
     gram_arrays = F.flatten(
         F.array(
             *[
                 F.expr(
-                    f"transform(sequence(1, greatest(size(_toks) - {n - 1}, 1)),"
+                    f"slice(transform(sequence(1, greatest(size(_toks) - {n - 1}, 1)),"
                     f" i -> struct({n} as n,"
-                    f" array_join(slice(_toks, i, {n}), ' ') as gram))"
+                    f" array_join(slice(_toks, i, {n}), ' ') as gram)),"
+                    f" 1, greatest(size(_toks) - {n - 1}, 0))"
                 )
                 for n in ns
             ]
@@ -165,13 +172,23 @@ def gopher_repetition(
 
 
 def drop_duplicate_lines(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_chars: int = 1,
 ) -> DataFrame:
     """C4-style corpus-wide line dedup: every line occurring more than once
     in the corpus survives ONLY at its first occurrence — min (doc_id,
     position) — all other occurrences are removed; document text is
     reassembled in original line order. Returns (doc_id, text, n_lines,
     n_removed).
+
+    Lines shorter than ``min_line_chars`` (default: empty lines, i.e.
+    paragraph separators) are EXEMPT — they always survive. Without the
+    exemption a single corpus-global blank line would swallow every other
+    document's paragraph structure. Raise the threshold to also exempt
+    trivial short lines ("-", "1."). NULL text is treated as empty, so
+    every input document keeps an output row.
 
     Plan: posexplode lines → one groupBy(line) computing (count, first
     occurrence) with map-side partial aggregation → join back on the line
@@ -182,14 +199,17 @@ def drop_duplicate_lines(
     """
     rows = df.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("pos", "line"),
     )
     firsts = rows.groupBy("line").agg(
         F.count("*").alias("_cnt"),
         F.min(F.struct("doc_id", "pos")).alias("_first"),
     )
     kept = rows.join(firsts, "line").where(
-        (F.col("_cnt") == 1)
+        (F.length("line") < min_line_chars)
+        | (F.col("_cnt") == 1)
         | (
             (F.col("doc_id") == F.col("_first.doc_id"))
             & (F.col("pos") == F.col("_first.pos"))

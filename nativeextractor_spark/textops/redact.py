@@ -43,21 +43,30 @@ def redact_pii(
     ``<TEL_NO>``). Null/empty texts pass through with 0 redactions."""
     from pyspark.sql import functions as F
 
-    from nativeextractor_spark.operators.extract import scan_document
+    from nativeextractor_spark.operators.extract import _postprocess_document
 
     miners = list(miners) if miners is not None else default_pii_miners()
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            keys, texts, counts = [], [], []
-            for key, text in zip(pdf[key_col], pdf[text_col]):
-                if not isinstance(text, str) or not text:
-                    keys.append(key)
-                    texts.append(text if isinstance(text, str) else None)
-                    counts.append(0)
-                    continue
-                cols = scan_document(
-                    text, miners, no_enclosed=True, sort_results=True
+            keys = list(pdf[key_col])
+            raw = list(pdf[text_col])
+            # one find_batch per miner over the whole Arrow batch — keeps
+            # batch-amortized miners (e.g. GazetteerMiner's per-unique-
+            # token dictionary probing) at full strength, exactly like the
+            # extraction kernel
+            idx = [i for i, t in enumerate(raw) if isinstance(t, str) and t]
+            texts = [raw[i] for i in idx]
+            per_miner = [m.find_batch(texts) for m in miners]
+            out = [t if isinstance(t, str) else None for t in raw]
+            counts = [0] * len(raw)
+            for j, i in enumerate(idx):
+                text = raw[i]
+                cols = _postprocess_document(
+                    text,
+                    [o for pm in per_miner for o in pm[j]],
+                    no_enclosed=True,
+                    sort_results=True,
                 )
                 parts: list[str] = []
                 last = 0
@@ -74,11 +83,10 @@ def redact_pii(
                     last = e
                     n += 1
                 parts.append(text[last:])
-                keys.append(key)
-                texts.append("".join(parts))
-                counts.append(n)
+                out[i] = "".join(parts)
+                counts[i] = n
             yield pd.DataFrame(
-                {key_col: keys, "text": texts, "n_redactions": counts}
+                {key_col: keys, "text": out, "n_redactions": counts}
             )
 
     projected = df.select(

@@ -186,3 +186,28 @@ def test_stateless_curation_ops_run_on_streams(spark, tmp_path_factory):
 
     qs = quality_scores(stream.withColumnRenamed("url", "doc_id"))
     assert qs.isStreaming
+
+
+def test_streaming_dedup_null_vs_empty_text(spark, tmp_path_factory):
+    """Review r3: NULL-text and empty-text docs must NOT suppress each
+    other (batch dedup_exact groups them separately)."""
+    from nativeextractor_spark.streaming import dedup_stream_exact
+
+    src = str(tmp_path_factory.mktemp("nn_src")) + "/data"
+    spark.createDataFrame(
+        [("u1", ""), ("u2", None), ("u3", "")],
+        "url string, text string",
+    ).write.parquet(src)
+    stream = spark.readStream.schema("url string, text string").parquet(src)
+    q = (
+        dedup_stream_exact(stream)
+        .writeStream.format("memory")
+        .queryName("nn_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from nn_out").collect()
+    texts = sorted((r.text if r.text is not None else "<NULL>") for r in rows)
+    # one empty-string survivor AND one NULL survivor
+    assert texts == ["", "<NULL>"]

@@ -466,3 +466,41 @@ def test_minhash_word_hash_flavor(spark):
     assert a == b
     with pytest.raises(ValueError, match="word_hash"):
         minhash_bands(df, hash_flavor="md5", shingle="word_hash")
+
+
+def test_gopher_repetition_short_and_null_docs(spark):
+    """Review r3: docs with fewer than n tokens have NO n-grams (fraction
+    0, not a fabricated whole-text gram), and NULL-text docs keep a row."""
+    from nativeextractor_spark.textops.lines import gopher_repetition
+
+    clean = " ".join(f"w{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, None), (3, "one"), (4, clean)],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in gopher_repetition(df).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    # a two-token doc has a 2-gram but NO fabricated 3/4-grams
+    assert rows[1].top3gram_char_frac == 0.0
+    assert rows[1].top4gram_char_frac == 0.0
+    # docs shorter than n tokens contribute fraction 0 for that n; docs
+    # with NO 2-grams (<=1 token, incl. NULL) pass all gram rules
+    assert rows[2].top2gram_char_frac == 0.0 and rows[2].repetition_pass
+    assert rows[3].repetition_pass
+    # a 40-distinct-token doc passes everything
+    assert rows[4].repetition_pass
+
+
+def test_drop_duplicate_lines_blank_exempt_and_null(spark):
+    """Review r3: blank lines (paragraph separators) are never deduped
+    corpus-wide, and NULL-text docs keep an output row."""
+    from nativeextractor_spark.textops.lines import drop_duplicate_lines
+
+    df = spark.createDataFrame(
+        [(1, "p1\n\np2"), (2, "q1\n\nq2"), (3, None)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in drop_duplicate_lines(df).collect()}
+    assert out[1].text == "p1\n\np2" and out[1].n_removed == 0
+    assert out[2].text == "q1\n\nq2" and out[2].n_removed == 0
+    assert 3 in out and out[3].n_removed == 0
