@@ -341,6 +341,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_token_freq: int = 1000,
+    gram_key: str = "string",
 ) -> DataFrame:
     """Exact n-gram (word) Jaccard similarity pairs ≥ threshold.
 
@@ -348,20 +349,46 @@ def ngram_jaccard_pairs(
     joined in, Jaccard = inter / (|A| + |B| - inter). N-grams appearing in
     more than ``max_token_freq`` docs are stop-listed (skew bound).
     Returns (doc_a, doc_b, jaccard).
+
+    ``gram_key``: ``"string"`` (default) joins on the gram text — the
+    oracle-reproducible flavor; ``"hash"`` joins on an xxhash64 combine of
+    the member token hashes — 8-byte shuffle keys instead of ~n-word
+    strings and no per-gram string allocation, the corpus-scale flavor
+    (Jaccard over hashed grams equals Jaccard over grams up to xxhash64
+    collisions, ~2^-64 per pair).
     """
-    grams = (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(
-                F.array_distinct(
-                    F.expr(
-                        f"transform(sequence(1, greatest(size(split(lower({text_col}), ' ')) - {n - 1}, 1)),"
-                        f" i -> array_join(slice(split(lower({text_col}), ' '), i, {n}), ' '))"
-                    )
-                )
-            ).alias("gram"),
+    if gram_key == "hash":
+        toks = f"transform(split(lower({text_col}), ' '), t -> xxhash64(t))"
+        combine = ", ".join(f"try_element_at(_th, i + {j})" for j in range(n))
+        gram_expr = (
+            f"transform(sequence(1, greatest(size(_th) - {n - 1}, 1)),"
+            f" i -> xxhash64({combine}))"
         )
-    )
+        grams = (
+            df.select(
+                F.col(id_col).alias("doc_id"), F.expr(toks).alias("_th")
+            )
+            .select(
+                "doc_id",
+                F.explode(F.array_distinct(F.expr(gram_expr))).alias("gram"),
+            )
+        )
+    elif gram_key == "string":
+        grams = (
+            df.select(
+                F.col(id_col).alias("doc_id"),
+                F.explode(
+                    F.array_distinct(
+                        F.expr(
+                            f"transform(sequence(1, greatest(size(split(lower({text_col}), ' ')) - {n - 1}, 1)),"
+                            f" i -> array_join(slice(split(lower({text_col}), ' '), i, {n}), ' '))"
+                        )
+                    )
+                ).alias("gram"),
+            )
+        )
+    else:
+        raise ValueError(f"unknown gram_key {gram_key!r}")
     freq = grams.groupBy("gram").agg(F.countDistinct("doc_id").alias("_df"))
     # materialize the stop-listed gram table once — sizes and BOTH self-join
     # sides consume it (3x the gram scan otherwise)

@@ -504,3 +504,24 @@ def test_drop_duplicate_lines_blank_exempt_and_null(spark):
     assert out[1].text == "p1\n\np2" and out[1].n_removed == 0
     assert out[2].text == "q1\n\nq2" and out[2].n_removed == 0
     assert 3 in out and out[3].n_removed == 0
+
+
+def test_ngram_jaccard_hash_key_matches_string_key(spark):
+    """The hash gram-key flavor must produce the same pairs and jaccard
+    values as the string flavor (equal up to 2^-64 hash collisions)."""
+    from nativeextractor_spark.textops import ngram_jaccard_pairs
+
+    rows = [
+        (i, " ".join(f"tok{(i * 3 + j) % 25}" for j in range(30)))
+        for i in range(12)
+    ] + [(100, " ".join(f"tok{j % 25}" for j in range(30)))]  # dup of doc 0
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, threshold=0.3).collect()
+    }
+    b = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, threshold=0.3, gram_key="hash").collect()
+    }
+    assert a == b and (0, 100) in a
