@@ -489,6 +489,14 @@ def main() -> None:
         )
         return
     sf = _sf()
+    if os.environ.get("SPARK_GRAFT_SCALING_ONLY") == "1":
+        # pairs-only mode for chasing a clean measurement window: no
+        # headline phase perturbing the box first, no BASELINE.md rewrite
+        spark = _mk_spark()
+        _ensure_scale_pages(spark)
+        spark.stop()
+        print(json.dumps(_run_scaling(sf)))
+        return
     spark = _mk_spark()
     t0 = time.perf_counter()
     timings = _headline(spark, sf)
