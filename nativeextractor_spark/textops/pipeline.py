@@ -1,0 +1,152 @@
+"""End-to-end training-data curation pipeline.
+
+Composes the curation operators in the standard web-corpus order
+(CCNet / Gopher / C4 lineage):
+
+1. **filter** — Gopher quality rules + repetition rules (and optionally a
+   language allowlist); documents failing any enabled rule set drop out.
+2. **exact dedup** — keep the smallest-id document per sha256(text).
+3. **line dedup** — C4-style corpus-wide keep-first line removal
+   (boilerplate); rewrites the surviving documents' text.
+4. **near dedup** — MinHash-LSH candidate pairs (token-hash shingles, the
+   scale flavor) → connected components over the pair graph → keep the
+   min-id document per near-duplicate cluster. Reuses the KG stage's
+   size-adaptive CC operator.
+5. **redact** — PII spans (email/URL/telephone miners) replaced by typed
+   placeholders.
+
+Every stage is the already-tested operator — this module only wires them
+and counts documents in/out, so the pipeline inherits each operator's
+plan shape (JVM hot paths, bounded skew, one shuffle per stage class).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def curate_corpus(
+    pages: DataFrame,
+    text_col: str = "text",
+    id_col: str = "url",
+    *,
+    quality_filter: bool = True,
+    repetition_filter: bool = True,
+    languages: list[str] | None = None,
+    exact_dedup: bool = True,
+    line_dedup: bool = True,
+    near_dedup: bool = True,
+    redact: bool = True,
+    lsh_num_hashes: int = 8,
+    lsh_k: int = 3,
+    lsh_min_shared_bands: int = 2,
+) -> tuple[DataFrame, dict]:
+    """pages(id, text, ...) → (curated(id, text), per-stage metrics dict).
+
+    Metrics record the surviving document count after each enabled stage
+    (``n_input`` first). Counting forces one action per stage — curation
+    is a batch job, and each count doubles as the stage barrier a real
+    pipeline would checkpoint at.
+    """
+    from nativeextractor_spark.kg.components import connected_components
+    from nativeextractor_spark.textops.dedup import (
+        dedup_exact,
+        lsh_duplicate_pairs,
+    )
+    from nativeextractor_spark.textops.lines import drop_duplicate_lines
+    from nativeextractor_spark.textops.quality import (
+        gopher_quality_filters,
+        language_id,
+    )
+    from nativeextractor_spark.textops.lines import gopher_repetition
+    from nativeextractor_spark.textops.redact import redact_pii
+
+    df = pages.select(
+        F.col(id_col).cast("string").alias("_id"), F.col(text_col).alias("_text")
+    )
+    metrics: dict[str, int] = {"n_input": df.count()}
+
+    if quality_filter or repetition_filter or languages:
+        keep = None
+        if quality_filter:
+            q = gopher_quality_filters(df, text_col="_text", id_col="_id")
+            keep = q.where("gopher_pass").select(F.col("doc_id").alias("_id"))
+        if repetition_filter:
+            r = gopher_repetition(df, text_col="_text", id_col="_id")
+            rk = r.where("repetition_pass").select(F.col("doc_id").alias("_id"))
+            keep = rk if keep is None else keep.join(rk, "_id")
+        if languages:
+            l = language_id(df, text_col="_text", id_col="_id")
+            lk = l.where(F.col("lang_pred").isin(languages)).select(
+                F.col("doc_id").alias("_id")
+            )
+            keep = lk if keep is None else keep.join(lk, "_id")
+        df = df.join(keep, "_id")
+        metrics["after_filters"] = df.count()
+
+    # multi-consumer from here on (dedup stages each scan df twice)
+    df = df.localCheckpoint(eager=True)
+
+    if exact_dedup:
+        keepers = dedup_exact(df, text_col="_text", id_col="_id").select(
+            F.col("doc_id").alias("_id")
+        )
+        df = df.join(keepers, "_id").localCheckpoint(eager=True)
+        metrics["after_exact_dedup"] = df.count()
+
+    if line_dedup:
+        df = drop_duplicate_lines(df, text_col="_text", id_col="_id").select(
+            F.col("doc_id").alias("_id"), F.col("text").alias("_text")
+        ).localCheckpoint(eager=True)
+        metrics["after_line_dedup"] = df.count()
+
+    if near_dedup:
+        pairs = lsh_duplicate_pairs(
+            df,
+            text_col="_text",
+            id_col="_id",
+            num_hashes=lsh_num_hashes,
+            k=lsh_k,
+            min_shared_bands=lsh_min_shared_bands,
+            hash_flavor="xx64",
+            shingle="word_hash",
+        )
+        edges = pairs.select(
+            F.xxhash64("doc_a").alias("u"), F.xxhash64("doc_b").alias("v")
+        ).localCheckpoint(eager=True)
+        if edges.isEmpty():
+            metrics["after_near_dedup"] = metrics.get(
+                "after_line_dedup", metrics["n_input"]
+            )
+        else:
+            comps = connected_components(edges)
+            # keep the min ORIGINAL id per cluster: map hashed node back by
+            # joining on the id hash, then pick min id per component
+            hashed = df.select("_id", F.xxhash64("_id").alias("_h"))
+            clustered = hashed.join(
+                comps, hashed["_h"] == comps["node"]
+            ).select("_id", "component")
+            keep_ids = clustered.groupBy("component").agg(
+                F.min("_id").alias("_id")
+            ).select("_id")
+            in_cluster = clustered.select("_id")
+            df = (
+                df.join(in_cluster, "_id", "left_anti")
+                .unionByName(df.join(keep_ids, "_id"))
+                .localCheckpoint(eager=True)
+            )
+            metrics["after_near_dedup"] = df.count()
+
+    if redact:
+        df = redact_pii(df, text_col="_text", key_col="_id").select(
+            F.col("_id"), F.col("text").alias("_text")
+        )
+        metrics["n_output"] = df.count()
+    else:
+        metrics["n_output"] = df.count()
+
+    return (
+        df.select(F.col("_id").alias(id_col), F.col("_text").alias(text_col)),
+        metrics,
+    )

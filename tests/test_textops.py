@@ -525,3 +525,50 @@ def test_ngram_jaccard_hash_key_matches_string_key(spark):
         for r in ngram_jaccard_pairs(df, threshold=0.3, gram_key="hash").collect()
     }
     assert a == b and (0, 100) in a
+
+
+def test_curate_corpus_end_to_end(spark):
+    """The full curation chain: quality/repetition filters drop junk,
+    exact+near dedup keep one representative per cluster, line dedup strips
+    shared boilerplate, and PII is redacted in the survivors."""
+    from nativeextractor_spark.textops.pipeline import curate_corpus
+
+    # >=50 mostly-distinct words (passes the word-count AND repetition
+    # rules), >=2 stopwords, alpha-bearing tokens, one email to redact
+    def good(seed):
+        body = " ".join(f"word{seed}x{i}" for i in range(55))
+        return body + " the and that have mail x@y.zw done"
+
+    hdr = "shared boilerplate header\n"
+    rows = [
+        ("a", hdr + good(1)),
+        ("b", hdr + good(2)),
+        ("c", hdr + good(1)),             # exact dup of a (after same hdr)
+        ("d", "junk " * 3),               # fails word-count rule
+        ("e", hdr + good(1) + " tail55"), # near dup of a
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    out, metrics = curate_corpus(
+        df,
+        lsh_num_hashes=6,
+        lsh_k=3,
+        lsh_min_shared_bands=2,
+    )
+    got = {r.url: r.text for r in out.collect()}
+    assert metrics["n_input"] == 5
+    assert "d" not in got                      # quality-filtered
+    assert "c" not in got                      # exact dup removed
+    assert "a" in got                          # cluster keeper survives
+    # boilerplate header survives only in the first doc that carried it
+    assert sum(t.startswith("shared boilerplate header") for t in got.values()) == 1
+    # PII redacted in survivors
+    assert all("x@y.zw" not in t for t in got.values())
+    assert any("<EMAIL>" in t for t in got.values())
+    assert metrics["n_output"] == len(got)
+    assert (
+        metrics["n_input"]
+        >= metrics["after_filters"]
+        >= metrics["after_exact_dedup"]
+        >= metrics["after_near_dedup"]
+        >= metrics["n_output"]
+    )
