@@ -116,9 +116,7 @@ def curate_corpus(
             F.xxhash64("doc_a").alias("u"), F.xxhash64("doc_b").alias("v")
         ).localCheckpoint(eager=True)
         if edges.isEmpty():
-            metrics["after_near_dedup"] = metrics.get(
-                "after_line_dedup", metrics["n_input"]
-            )
+            metrics["after_near_dedup"] = df.count()
         else:
             comps = connected_components(edges)
             # keep the min ORIGINAL id per cluster: map hashed node back by
