@@ -21,6 +21,10 @@ def get_spark(
     elif SparkSession.getActiveSession() is None:
         builder = builder.master(f"local[{cpus}]")
     conf = {
+        # local mode: the driver JVM IS the executor — Spark's 1g default
+        # heap OOMs wide-row operators at local[32]; honored only by the
+        # process's FIRST session (JVM flag), override via SPARK_GRAFT_MEM
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_MEM", "8g"),
         # AQE: runtime coalescing + skew-join splitting
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",

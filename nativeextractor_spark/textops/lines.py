@@ -91,27 +91,34 @@ def gopher_repetition(
         )
     )
 
-    # --- n-gram stats: ONE explode for all n in 2..10 ---------------------
+    # --- n-gram stats: explode the n VALUES first (9 rows/doc), then each
+    # row builds only ITS n's gram array — peak per-row memory is one gram
+    # list instead of all nine stacked (a 9x reduction that keeps wide web
+    # pages inside executor heap). slice-to-true-length: a doc with fewer
+    # than n tokens has NO n-grams (fraction 0 via the pivot coalesce) —
+    # Spark's sequence(1, 0) counts DOWN, so the padded transform is
+    # trimmed with an outer slice instead.
     ns = sorted(_TOP_NGRAM_MAX) + sorted(_DUP_NGRAM_MAX)
-    # slice-to-true-length: a doc with fewer than n tokens has NO n-grams
-    # (fraction 0 via the pivot coalesce) — Spark's sequence(1, 0) counts
-    # DOWN, so the padded transform is trimmed with an outer slice instead
-    gram_arrays = F.flatten(
-        F.array(
-            *[
+    gram_rows = (
+        base.select(
+            "doc_id",
+            "n_chars",
+            "_toks",
+            F.explode(F.array(*[F.lit(n) for n in ns])).alias("n"),
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            "n",
+            F.explode(
                 F.expr(
-                    f"slice(transform(sequence(1, greatest(size(_toks) - {n - 1}, 1)),"
-                    f" i -> struct({n} as n,"
-                    f" array_join(slice(_toks, i, {n}), ' ') as gram)),"
-                    f" 1, greatest(size(_toks) - {n - 1}, 0))"
+                    "slice(transform(sequence(1, greatest(size(_toks) - (n - 1), 1)),"
+                    " i -> array_join(slice(_toks, i, n), ' ')),"
+                    " 1, greatest(size(_toks) - (n - 1), 0))"
                 )
-                for n in ns
-            ]
+            ).alias("gram"),
         )
     )
-    gram_rows = base.select(
-        "doc_id", "n_chars", F.explode(gram_arrays).alias("g")
-    ).select("doc_id", "n_chars", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
     gram_counts = gram_rows.groupBy("doc_id", "n_chars", "n", "gram").agg(
         F.count("*").alias("c")
     )
