@@ -160,6 +160,9 @@ def _headline(spark, sf: float) -> dict[str, float]:
         .distinct()
     )
     timed("canonicalize", lambda: canonicalize_surfaces(surfaces).count())
+    # the KG stages are done with the cached triples — release the storage
+    # memory before the dedup/curation queries contend for heap
+    triples.unpersist()
     timed(
         "dedup_lsh_pages",
         lambda: lsh_duplicate_pairs(
