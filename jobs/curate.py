@@ -42,7 +42,7 @@ def main() -> None:
 
     from nativeextractor_spark.session import get_spark
     from nativeextractor_spark.datagen import generate_pages_df
-    from nativeextractor_spark.io import read_table
+    from nativeextractor_spark.io import read_table, write_table
     from nativeextractor_spark.textops.pipeline import curate_corpus
 
     spark = get_spark("curate")
@@ -63,7 +63,7 @@ def main() -> None:
         near_dedup=not args.no_near_dedup,
         redact=not args.no_redact,
     )
-    curated.write.mode("overwrite").parquet(args.out)
+    write_table(curated, args.out)  # Iceberg table name or parquet path
     print("CURATE_DONE " + json.dumps(metrics))
 
 

@@ -12,9 +12,10 @@ Two classic pre-training cleanup stages, both entirely JVM-side:
   (min (doc_id, position)) across the whole corpus — the standard
   boilerplate-removal pass.
 
-Scale shape: each operator explodes once (the n-gram stats stack all
-nine gram sizes into a single explode/aggregate pass) and every
-aggregation is hash partial-agg; no Python, no windows in either path.
+Scale shape: the n-gram stats explode the n VALUES first (9 rows/doc),
+then each row's own gram list — bounding per-row memory to one gram
+array; line stats and line dedup explode once. Every aggregation is hash
+partial-agg; no Python, no windows in either path.
 """
 
 from __future__ import annotations
@@ -57,9 +58,10 @@ def gopher_repetition(
       flavor upper-bounds it and uses the same thresholds).
 
     All fractions are truncated to 6 decimals with the num*1e6/den
-    association. One explode+groupBy for lines, one for ALL nine gram
-    sizes together. Returns one row per doc with the metrics, per-rule
-    ``ok_*`` flags, and ``repetition_pass``.
+    association. Lines explode once; grams explode the n values first,
+    then each row's own gram list (see the Scale shape note). Returns one
+    row per doc with the metrics, per-rule ``ok_*`` flags, and
+    ``repetition_pass``.
     """
     # NULL text is treated as empty (split(NULL) would otherwise emit
     # zero rows and the document would vanish from the output)

@@ -65,6 +65,10 @@ def curate_corpus(
     df = pages.select(
         F.col(id_col).cast("string").alias("_id"), F.col(text_col).alias("_text")
     )
+    # ids must be unique from here on (every later stage rejoins keeper ids
+    # back to the corpus — duplicate ids would MULTIPLY rows through those
+    # joins): keep the deterministic min text per id
+    df = df.groupBy("_id").agg(F.min("_text").alias("_text"))
     metrics: dict[str, int] = {"n_input": df.count()}
 
     if quality_filter or repetition_filter or languages:
@@ -82,11 +86,14 @@ def curate_corpus(
                 F.col("doc_id").alias("_id")
             )
             keep = lk if keep is None else keep.join(lk, "_id")
-        df = df.join(keep, "_id")
+        # checkpoint BEFORE counting: the count and every later stage then
+        # read the materialized result instead of re-running the filter
+        # chain (the 9-way n-gram aggregate is the pipeline's heaviest op)
+        df = df.join(keep, "_id").localCheckpoint(eager=True)
         metrics["after_filters"] = df.count()
-
-    # multi-consumer from here on (dedup stages each scan df twice)
-    df = df.localCheckpoint(eager=True)
+    else:
+        # multi-consumer from here on (dedup stages each scan df twice)
+        df = df.localCheckpoint(eager=True)
 
     if exact_dedup:
         keepers = dedup_exact(df, text_col="_text", id_col="_id").select(
@@ -137,12 +144,11 @@ def curate_corpus(
             metrics["after_near_dedup"] = df.count()
 
     if redact:
+        # checkpoint so the caller's write does not re-run the PII miners
         df = redact_pii(df, text_col="_text", key_col="_id").select(
             F.col("_id"), F.col("text").alias("_text")
-        )
-        metrics["n_output"] = df.count()
-    else:
-        metrics["n_output"] = df.count()
+        ).localCheckpoint(eager=True)
+    metrics["n_output"] = df.count()
 
     return (
         df.select(F.col("_id").alias(id_col), F.col("_text").alias(text_col)),

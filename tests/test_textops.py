@@ -572,3 +572,25 @@ def test_curate_corpus_end_to_end(spark):
         >= metrics["after_near_dedup"]
         >= metrics["n_output"]
     )
+
+
+def test_curate_corpus_duplicate_ids_do_not_multiply(spark):
+    """Review r3: duplicate input ids (recrawls) must not multiply rows
+    through the keeper-id joins — the pipeline keeps one deterministic
+    row per id before any stage."""
+    from nativeextractor_spark.textops.pipeline import curate_corpus
+
+    def good(seed):
+        body = " ".join(f"word{seed}x{i}" for i in range(55))
+        return body + " the and that have done"
+
+    df = spark.createDataFrame(
+        [("a", good(1)), ("a", good(2)), ("b", good(3))],
+        "url string, text string",
+    )
+    out, metrics = curate_corpus(df, near_dedup=False, redact=False)
+    rows = out.collect()
+    assert metrics["n_input"] == 2  # id-deduped upfront
+    assert len(rows) == len({r.url for r in rows}) == 2
+    # deterministic pick: min text per id
+    assert {r.url: r.text for r in rows}["a"] == min(good(1), good(2))
