@@ -90,7 +90,12 @@ def _category_table() -> np.ndarray:
     )
 
     def _dir_trusted() -> bool:
-        st = os.stat(cache_dir)
+        # lstat + S_ISDIR: a pre-planted symlink at the predictable path
+        # must not redirect cache reads/writes into an attacker-chosen
+        # victim-owned directory (os.stat would follow it)
+        st = os.lstat(cache_dir)
+        if not statmod.S_ISDIR(st.st_mode):
+            return False
         owned = not hasattr(os, "getuid") or st.st_uid == os.getuid()
         return owned and not (st.st_mode & (statmod.S_IWGRP | statmod.S_IWOTH))
 

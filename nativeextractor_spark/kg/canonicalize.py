@@ -27,6 +27,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from nativeextractor_spark.staging import stage
+
 from nativeextractor_spark.kg.components import connected_components
 
 # 31-bit Mersenne prime: (a*h + b) stays within int64 → fully vectorized
@@ -137,7 +139,7 @@ def canonicalize_surfaces(
         .distinct()
         .withColumn("norm", _normalize_surface_col(F.col("surface")))
         .withColumn("surface_id", F.xxhash64("norm"))
-        .localCheckpoint(eager=True)
+        .transform(stage("canon"))
     )
 
     def sig_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -171,15 +173,13 @@ def canonicalize_surfaces(
             sig_kernel,
             schema="norm string, surface_id long, sig array<long>, sh array<long>",
         )
-        .localCheckpoint(eager=True)
+        .transform(stage("canon"))
     )
 
     # band keys derived JVM-side (see _band_keys). Materialized once: the
     # bucket sizing, the bounded join, and both self-join sides consume it —
     # without truncation each would re-run the signature kernel.
-    bands_df = _band_keys(sig_df, bands, rows_per_band).localCheckpoint(
-        eager=True
-    )
+    bands_df = _band_keys(sig_df, bands, rows_per_band).transform(stage("canon"))
 
     # skew bound: drop LSH buckets above max_bucket (counted, not silent)
     bucket_sizes = bands_df.groupBy("band", "band_hash").agg(
@@ -227,7 +227,7 @@ def canonicalize_surfaces(
     # membership join — without truncation it would re-execute each time
     edges = verified.select(
         F.col("id_a").alias("u"), F.col("id_b").alias("v")
-    ).localCheckpoint(eager=True)
+    ).transform(stage("canon"))
     if edges.isEmpty():
         return norm.withColumn("canonical_id", F.col("surface_id"))
     comps = connected_components(edges)

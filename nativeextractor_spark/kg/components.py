@@ -4,7 +4,8 @@ GraphFrames-style iterative DataFrame algorithm (Kiveris et al.,
 "Connected Components in MapReduce and Beyond", SoCC'14 — public method):
 alternate two rounds until the edge set is a fixpoint; each round is a
 groupBy-min + join, so the whole thing is shuffle-bound and converges in
-O(log n) rounds. Every round is checkpoint-truncated (``localCheckpoint``)
+O(log n) rounds. Every round is checkpoint-truncated (via
+:func:`nativeextractor_spark.staging.materialize`, durability selectable)
 to keep the plan/lineage from growing exponentially.
 
 Output: (node, component) with component = min node id of the component.
@@ -14,6 +15,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from nativeextractor_spark.staging import stage
 
 
 def _symmetric(edges: DataFrame) -> DataFrame:
@@ -105,7 +108,7 @@ def connected_components(
         .distinct()
     )
 
-    cur = cur.localCheckpoint(eager=True)
+    cur = cur.transform(stage("cc"))
     if cur.count() <= driver_threshold:
         spark = edges.sparkSession
         pairs = [(r.u, r.v) for r in cur.collect()]
@@ -131,7 +134,7 @@ def connected_components(
     cur_sig = _sig(cur)
     for _ in range(max_iterations):
         after_large = _large_star(cur)
-        after_small = _small_star(after_large).localCheckpoint(eager=True)
+        after_small = _small_star(after_large).transform(stage("cc"))
         new_sig = _sig(after_small)
         cur = after_small
         if new_sig == cur_sig:

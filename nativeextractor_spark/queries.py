@@ -851,31 +851,72 @@ def q_ann_ivf_kmeans(spark, sf_dir):
     )
 
 
-def _ann_ivf_kmeans_oracle_sql() -> str:
-    """DuckDB recomputation of the trained-IVF path: the codebook is
-    retrained INDEPENDENTLY from the parquet file (pyarrow read, same
-    deterministic lloyd_kmeans) and inlined as literals, mirroring how the
-    ann_lsh oracle inlines its seed-42 hyperplanes. The centroid literals
-    are tied to the driver's correctness scale factor (sf0.01 — the data
-    the gate runs at); the norms are inlined with the exact left-to-right
-    fold the Spark plan uses."""
-    import pyarrow.parquet as pq
+def _oracle_lloyd_kmeans(X, n_centroids: int, n_iters: int = 5, seed: int = 42):
+    """INDEPENDENT spherical-k-means reimplementation for the oracle side
+    (ADVICE r3: a bug in textops.similarity.lloyd_kmeans must not pass both
+    sides of the gate). Same deterministic spec — seeded RandomState init,
+    float64, fixed iteration count, mean-then-renormalize — but written
+    with a per-vector assignment loop and explicit accumulate/divide
+    instead of the matrix argmax / members.mean path. Agreement is checked
+    in tests/test_textops.py (centroids must round-trip identically through
+    repr literals)."""
+    import numpy as np
 
-    from nativeextractor_spark.textops.similarity import (
-        _seq_sq_norm,
-        lloyd_kmeans,
+    X = np.asarray(X, dtype=np.float64)
+    Xn = X / np.maximum(np.sqrt((X * X).sum(axis=1))[:, None], 1e-12)
+    rng = np.random.RandomState(seed)
+    k = min(n_centroids, len(Xn))
+    C = Xn[rng.choice(len(Xn), size=k, replace=False)].copy()
+    for _ in range(n_iters):
+        assign = [int(max(range(k), key=lambda j: float(x @ C[j]))) for x in Xn]
+        for j in range(k):
+            members = [Xn[i] for i, a in enumerate(assign) if a == j]
+            if members:
+                acc = np.zeros(Xn.shape[1])
+                for m in members:
+                    acc = acc + m
+                C[j] = acc / len(members)
+        C = C / np.maximum(np.sqrt((C * C).sum(axis=1))[:, None], 1e-12)
+    return [c.tolist() for c in C]
+
+
+def _correctness_sf_dir() -> str:
+    """Scale-factor directory the correctness gate runs at. The driver
+    compares Spark vs DuckDB at sf0.01; data-dependent oracles (trained
+    codebooks) must train on the SAME data the query trains on, so the
+    path is derived from this one knob instead of being hardcoded
+    (ADVICE r3). Override with SPARK_GRAFT_CORRECTNESS_SF_DIR when running
+    the gate at another scale."""
+    import os
+
+    return os.environ.get(
+        "SPARK_GRAFT_CORRECTNESS_SF_DIR", "/root/testdata/sf0.01"
     )
 
+
+def _ann_ivf_kmeans_oracle_sql() -> str:
+    """DuckDB recomputation of the trained-IVF path: the codebook is
+    retrained INDEPENDENTLY from the parquet file (pyarrow read +
+    :func:`_oracle_lloyd_kmeans`, a from-scratch Lloyd reimplementation)
+    and inlined as literals, mirroring how the ann_lsh oracle inlines its
+    seed-42 hyperplanes. The centroid literals are trained at the gate's
+    scale factor (see :func:`_correctness_sf_dir`); the norms are inlined
+    with the exact left-to-right fold the Spark plan uses."""
+    import pyarrow.parquet as pq
+
+    from nativeextractor_spark.textops.similarity import _seq_sq_norm
+
+    sf_dir = _correctness_sf_dir()
     try:
         tbl = pq.read_table(
-            "/root/testdata/sf0.01/embeddings.parquet", columns=["vec_id", "embedding"]
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
         )
     except Exception as e:  # pragma: no cover - sandbox always has sf0.01
-        return f"SELECT error('ann_ivf_kmeans oracle needs sf0.01 parquet: {e}')"
+        return f"SELECT error('ann_ivf_kmeans oracle needs {sf_dir} parquet: {e}')"
     rows = sorted(
         zip(tbl["vec_id"].to_pylist(), tbl["embedding"].to_pylist())
     )[:4096]
-    cents = lloyd_kmeans([v for _, v in rows], 8)
+    cents = _oracle_lloyd_kmeans([v for _, v in rows], 8)
     values = ",\n    ".join(
         "({}, [{}]::DOUBLE[], {!r})".format(
             cid, ", ".join(repr(float(x)) for x in cv), _seq_sq_norm(cv)
@@ -1209,7 +1250,8 @@ g AS (SELECT doc_id, n_chars, n,
           i -> array_to_string(list_slice(toks, i, i + n - 1), ' '))) AS gram
       FROM tk CROSS JOIN (SELECT unnest([2,3,4,5,6,7,8,9,10]) AS n)),
 gc AS (SELECT doc_id, n_chars, n, gram, count(*) AS c FROM g GROUP BY doc_id, n_chars, n, gram),
-gr AS (SELECT *, row_number() OVER (PARTITION BY doc_id, n ORDER BY c DESC, gram DESC) AS r FROM gc),
+gr AS (SELECT *, row_number() OVER (PARTITION BY doc_id, n
+         ORDER BY c DESC, length(gram) DESC, gram DESC) AS r FROM gc),
 pn AS (SELECT doc_id, n_chars, n,
          max(CASE WHEN r = 1 THEN c * length(gram) END) AS top_chars,
          sum(CASE WHEN c > 1 THEN c * length(gram) ELSE 0 END) AS dup_chars
@@ -1365,7 +1407,7 @@ def q_winnow_fp(spark, sf_dir):
     )
 
 
-O_WINNOW_FP = """
+O_WINNOW_FP = r"""
 WITH d AS (
   SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
   FROM documents WHERE doc_id < 50

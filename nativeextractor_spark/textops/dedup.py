@@ -16,6 +16,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from nativeextractor_spark.staging import stage
+
 
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup: keep the smallest id per sha256(text) group.
@@ -144,7 +146,7 @@ def lsh_duplicate_pairs(
     # without truncation each re-runs the full shingling/minhash scan
     bands = minhash_bands(
         df, text_col, id_col, num_hashes, k, hash_flavor, shingle
-    ).localCheckpoint(eager=True)
+    ).transform(stage("dedup"))
     sizes = bands.groupBy("band", "min_hash").agg(F.count("*").alias("_sz"))
     bounded = bands.join(
         sizes.where(F.col("_sz") <= max_bucket).drop("_sz"), ["band", "min_hash"]
@@ -394,7 +396,7 @@ def ngram_jaccard_pairs(
     # sides consume it (3x the gram scan otherwise)
     grams = grams.join(
         freq.where(F.col("_df") <= max_token_freq).drop("_df"), "gram"
-    ).localCheckpoint(eager=True)
+    ).transform(stage("dedup"))
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     a = grams.select(F.col("doc_id").alias("doc_a"), "gram")
     b = grams.select(F.col("doc_id").alias("doc_b"), "gram")
@@ -444,9 +446,7 @@ def simhash_duplicate_pairs(
     mask = (1 << width) - 1
     sigs = simhash(
         df, text_col, id_col, token_hash=token_hash, engine=engine
-    ).localCheckpoint(
-        eager=True
-    )
+    ).transform(stage("dedup"))
     chunks = sigs.select(
         "doc_id",
         "simhash",

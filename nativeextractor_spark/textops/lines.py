@@ -36,7 +36,10 @@ def _t6(num, den):
 
 
 def gopher_repetition(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_key: str = "hash",
 ) -> DataFrame:
     """Per-document Gopher repetition metrics + pass flags.
 
@@ -48,9 +51,11 @@ def gopher_repetition(
     - ``dup_line_char_frac``: characters in those beyond-first line
       occurrences / characters in all lines;
     - ``top{n}gram_char_frac`` (n=2..4): count(top n-gram) * chars(top
-      n-gram) / chars(text); the top gram is the (count desc, gram desc)
-      maximum — a deterministic tie-break expressible as one
-      ``max(struct(count, gram))`` aggregate, no window;
+      n-gram) / chars(text); the top gram is the (count desc, char-length
+      desc, key desc) maximum — a deterministic tie-break expressible as
+      one ``max(struct(count, len, key))`` aggregate, no window. Because
+      the fraction depends only on (count, len), the pick is identical
+      under BOTH gram keys below;
     - ``dup{n}gram_char_frac`` (n=5..10): sum over n-grams with count>1 of
       count * chars(gram) / chars(text). Overlapping occurrences are each
       counted (the span-union flavor some curators use needs per-doc
@@ -62,7 +67,27 @@ def gopher_repetition(
     then each row's own gram list (see the Scale shape note). Returns one
     row per doc with the metrics, per-rule ``ok_*`` flags, and
     ``repetition_pass``.
+
+    ``gram_key`` picks the gram identity used for counting (VERDICT r3
+    item 4, the minhash ``word_hash`` trick):
+
+    - ``"hash"`` (default) — gram identity is ``xxhash64`` of the token
+      slice; its char length rides along as ``aggregate`` over a
+      precomputed token-length array + (n-1) separators. No gram STRING is
+      ever allocated (the ~9-way ``array_join`` was the measured
+      dominant cost), and the count aggregate shuffles 12-byte keys.
+      A 64-bit collision (~2^-64 per in-doc gram pair) merges two gram
+      counts.
+    - ``"string"`` — materialized ``array_join`` gram strings; the flavor
+      an independent SQL engine replays verbatim (the DuckDB oracle).
+
+    Output metrics are identical across flavors by construction (absent
+    collisions): counts group the same equivalence classes (tokens contain
+    no separators, so join-with-space is injective) and the top pick's
+    contribution depends only on (count, len).
     """
+    if gram_key not in ("hash", "string"):
+        raise ValueError(f"gram_key must be 'hash' or 'string', got {gram_key!r}")
     # NULL text is treated as empty (split(NULL) would otherwise emit
     # zero rows and the document would vanish from the output)
     text = F.coalesce(F.col(text_col), F.lit(""))
@@ -76,6 +101,12 @@ def gopher_repetition(
         lines.alias("_lines"),
         toks.alias("_toks"),
     )
+    if gram_key == "hash":
+        # token lengths once per doc; each gram's char length is then an
+        # integer fold over a slice — no string is built anywhere
+        base = base.withColumn(
+            "_tlens", F.expr("transform(_toks, t -> length(t))")
+        )
 
     # --- line stats: explode, count per (doc, line) -----------------------
     line_rows = base.select(
@@ -101,35 +132,53 @@ def gopher_repetition(
     # Spark's sequence(1, 0) counts DOWN, so the padded transform is
     # trimmed with an outer slice instead.
     ns = sorted(_TOP_NGRAM_MAX) + sorted(_DUP_NGRAM_MAX)
+    if gram_key == "hash":
+        gram_expr = (
+            "slice(transform(sequence(1, greatest(size(_toks) - (n - 1), 1)),"
+            " i -> struct(xxhash64(slice(_toks, i, n)) AS gk,"
+            "            aggregate(slice(_tlens, i, n), 0, (a, x) -> a + x)"
+            "              + (n - 1) AS glen)),"
+            " 1, greatest(size(_toks) - (n - 1), 0))"
+        )
+        key_cols = [F.col("_g.gk").alias("gk"), F.col("_g.glen").alias("glen")]
+        carry = ["_tlens"]
+    else:
+        gram_expr = (
+            "slice(transform(sequence(1, greatest(size(_toks) - (n - 1), 1)),"
+            " i -> array_join(slice(_toks, i, n), ' ')),"
+            " 1, greatest(size(_toks) - (n - 1), 0))"
+        )
+        key_cols = [F.col("_g").alias("gk"), F.length("_g").alias("glen")]
+        carry = []
     gram_rows = (
         base.select(
             "doc_id",
             "n_chars",
             "_toks",
+            *carry,
             F.explode(F.array(*[F.lit(n) for n in ns])).alias("n"),
         )
         .select(
             "doc_id",
             "n_chars",
             "n",
-            F.explode(
-                F.expr(
-                    "slice(transform(sequence(1, greatest(size(_toks) - (n - 1), 1)),"
-                    " i -> array_join(slice(_toks, i, n), ' ')),"
-                    " 1, greatest(size(_toks) - (n - 1), 0))"
-                )
-            ).alias("gram"),
+            F.explode(F.expr(gram_expr)).alias("_g"),
         )
+        .select("doc_id", "n_chars", "n", *key_cols)
     )
-    gram_counts = gram_rows.groupBy("doc_id", "n_chars", "n", "gram").agg(
-        F.count("*").alias("c")
+    # glen is functionally determined by gk (same gram → same length);
+    # max() just picks it deterministically inside the count aggregate
+    gram_counts = gram_rows.groupBy("doc_id", "n_chars", "n", "gk").agg(
+        F.count("*").alias("c"), F.max("glen").alias("glen")
     )
-    # top gram per (doc, n): max(struct(count, gram)) — deterministic
-    # (count desc, gram desc) pick as a plain aggregate, no window
+    # top gram per (doc, n): max(struct(count, len, key)) — deterministic
+    # (count desc, char-len desc, key desc) pick as a plain aggregate, no
+    # window; the contribution c*glen depends only on (c, glen), so both
+    # gram-key flavors compute identical fractions
     per_n = gram_counts.groupBy("doc_id", "n_chars", "n").agg(
-        F.max(F.struct(F.col("c"), F.col("gram"))).alias("_top"),
+        F.max(F.struct(F.col("c"), F.col("glen"), F.col("gk"))).alias("_top"),
         F.sum(
-            F.when(F.col("c") > 1, F.col("c") * F.length("gram")).otherwise(
+            F.when(F.col("c") > 1, F.col("c") * F.col("glen")).otherwise(
                 F.lit(0)
             )
         ).alias("dup_chars"),
@@ -137,7 +186,7 @@ def gopher_repetition(
         "doc_id",
         "n_chars",
         "n",
-        (F.col("_top.c") * F.length(F.col("_top.gram"))).alias("top_chars"),
+        (F.col("_top.c") * F.col("_top.glen")).alias("top_chars"),
         "dup_chars",
     )
     frac = F.when(
@@ -185,6 +234,7 @@ def drop_duplicate_lines(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_line_chars: int = 1,
+    line_key: str = "hash",
 ) -> DataFrame:
     """C4-style corpus-wide line dedup: every line occurring more than once
     in the corpus survives ONLY at its first occurrence — min (doc_id,
@@ -199,30 +249,54 @@ def drop_duplicate_lines(
     trivial short lines ("-", "1."). NULL text is treated as empty, so
     every input document keeps an output row.
 
-    Plan: posexplode lines → one groupBy(line) computing (count, first
-    occurrence) with map-side partial aggregation → join back on the line
-    (broadcast-unfriendly at corpus scale, so it shuffles once on the line
-    hash) → filter + re-aggregate per document ordered by position. The
-    keeper rule makes the output deterministic and idempotent (running it
-    twice removes nothing new).
+    Plan: posexplode lines → exempt lines split off BEFORE the heavy ops
+    (a line's exemption depends only on the line itself, so excluding
+    exempt rows from the count/first aggregate cannot change any
+    non-exempt key's result — and blank separator lines are a large share
+    of a web corpus) → one groupBy(key) computing (count, first
+    occurrence) with map-side partial aggregation → join back on the key
+    (broadcast-unfriendly at corpus scale, so it shuffles once) → filter +
+    re-aggregate per document ordered by position. The keeper rule makes
+    the output deterministic and idempotent (running it twice removes
+    nothing new).
+
+    ``line_key`` picks the dedup key (VERDICT r3 item 3, mirroring
+    minhash's ``word_hash`` flavor):
+
+    - ``"hash"`` (default) — key on ``xxhash64(line)``: the count/first
+      aggregate shuffles 8-byte keys with NO string payload at all, and
+      the join compares longs instead of line text. A 64-bit collision
+      (~2^-64 per distinct-line pair) would merge two distinct lines and
+      drop one wrongly — the standard corpus-dedup trade.
+    - ``"string"`` — key on the raw line (collision-free; the flavor an
+      independent SQL engine can replay verbatim, used by the DuckDB
+      oracle). Output is identical absent hash collisions.
     """
+    if line_key not in ("hash", "string"):
+        raise ValueError(f"line_key must be 'hash' or 'string', got {line_key!r}")
     rows = df.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(
             F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
         ).alias("pos", "line"),
     )
-    firsts = rows.groupBy("line").agg(
+    exempt = F.length("line") < min_line_chars
+    cand = rows.where(~exempt).withColumn(
+        "_lk", F.xxhash64("line") if line_key == "hash" else F.col("line")
+    )
+    firsts = cand.groupBy("_lk").agg(
         F.count("*").alias("_cnt"),
         F.min(F.struct("doc_id", "pos")).alias("_first"),
     )
-    kept = rows.join(firsts, "line").where(
-        (F.length("line") < min_line_chars)
-        | (F.col("_cnt") == 1)
+    kept_cand = cand.join(firsts, "_lk").where(
+        (F.col("_cnt") == 1)
         | (
             (F.col("doc_id") == F.col("_first.doc_id"))
             & (F.col("pos") == F.col("_first.pos"))
         )
+    )
+    kept = rows.where(exempt).unionByName(
+        kept_cand.select("doc_id", "pos", "line")
     )
     rebuilt = kept.groupBy("doc_id").agg(
         F.array_join(

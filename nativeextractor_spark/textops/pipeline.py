@@ -5,6 +5,13 @@ Composes the curation operators in the standard web-corpus order
 
 1. **filter** — Gopher quality rules + repetition rules (and optionally a
    language allowlist); documents failing any enabled rule set drop out.
+   NOTE (ADVICE r3): the repetition rules use the count-weighted
+   ``dup{n}gram_char_frac`` flavor (every overlapping occurrence counts,
+   an upper bound on the paper's span-union fraction) with the paper's
+   unchanged thresholds — so this stage filters somewhat MORE aggressively
+   than published Gopher pass rates; do not compare survival percentages
+   to the paper's numbers directly. Relax the thresholds via
+   ``textops.lines`` if parity with published rates matters.
 2. **exact dedup** — keep the smallest-id document per sha256(text).
 3. **line dedup** — C4-style corpus-wide keep-first line removal
    (boilerplate); rewrites the surviving documents' text.
@@ -24,6 +31,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from nativeextractor_spark.staging import stage
 
 
 def curate_corpus(
@@ -67,9 +76,21 @@ def curate_corpus(
     )
     # ids must be unique from here on (every later stage rejoins keeper ids
     # back to the corpus — duplicate ids would MULTIPLY rows through those
-    # joins): keep the deterministic min text per id
-    df = df.groupBy("_id").agg(F.min("_text").alias("_text"))
-    metrics: dict[str, int] = {"n_input": df.count()}
+    # joins): keep the deterministic min text per id. Count BEFORE the
+    # collapse so n_input reflects real input volume; n_distinct_ids
+    # surfaces id collisions instead of hiding the silent min-text pick
+    # (ADVICE r3).
+    collapsed = df.groupBy("_id").agg(
+        F.min("_text").alias("_text"), F.count("*").alias("_c")
+    ).transform(stage("curate"))
+    counts = collapsed.agg(
+        F.sum("_c").alias("rows"), F.count("*").alias("ids")
+    ).collect()[0]
+    df = collapsed.drop("_c")
+    metrics: dict[str, int] = {
+        "n_input": int(counts["rows"] or 0),
+        "n_distinct_ids": int(counts["ids"]),
+    }
 
     if quality_filter or repetition_filter or languages:
         keep = None
@@ -89,23 +110,23 @@ def curate_corpus(
         # checkpoint BEFORE counting: the count and every later stage then
         # read the materialized result instead of re-running the filter
         # chain (the 9-way n-gram aggregate is the pipeline's heaviest op)
-        df = df.join(keep, "_id").localCheckpoint(eager=True)
+        df = df.join(keep, "_id").transform(stage("curate"))
         metrics["after_filters"] = df.count()
     else:
         # multi-consumer from here on (dedup stages each scan df twice)
-        df = df.localCheckpoint(eager=True)
+        df = df.transform(stage("curate"))
 
     if exact_dedup:
         keepers = dedup_exact(df, text_col="_text", id_col="_id").select(
             F.col("doc_id").alias("_id")
         )
-        df = df.join(keepers, "_id").localCheckpoint(eager=True)
+        df = df.join(keepers, "_id").transform(stage("curate"))
         metrics["after_exact_dedup"] = df.count()
 
     if line_dedup:
         df = drop_duplicate_lines(df, text_col="_text", id_col="_id").select(
             F.col("doc_id").alias("_id"), F.col("text").alias("_text")
-        ).localCheckpoint(eager=True)
+        ).transform(stage("curate"))
         metrics["after_line_dedup"] = df.count()
 
     if near_dedup:
@@ -121,7 +142,7 @@ def curate_corpus(
         )
         edges = pairs.select(
             F.xxhash64("doc_a").alias("u"), F.xxhash64("doc_b").alias("v")
-        ).localCheckpoint(eager=True)
+        ).transform(stage("curate"))
         if edges.isEmpty():
             metrics["after_near_dedup"] = df.count()
         else:
@@ -139,7 +160,7 @@ def curate_corpus(
             df = (
                 df.join(in_cluster, "_id", "left_anti")
                 .unionByName(df.join(keep_ids, "_id"))
-                .localCheckpoint(eager=True)
+                .transform(stage("curate"))
             )
             metrics["after_near_dedup"] = df.count()
 
@@ -147,7 +168,7 @@ def curate_corpus(
         # checkpoint so the caller's write does not re-run the PII miners
         df = redact_pii(df, text_col="_text", key_col="_id").select(
             F.col("_id"), F.col("text").alias("_text")
-        ).localCheckpoint(eager=True)
+        ).transform(stage("curate"))
     metrics["n_output"] = df.count()
 
     return (

@@ -12,6 +12,8 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from nativeextractor_spark.staging import stage
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -313,6 +315,7 @@ def embedding_duplicate_pairs(
     vectors: DataFrame,
     threshold: float = 0.95,
     n_planes: int = 6,
+    *,
     n_bands: int = 4,
     dim: int = 64,
     id_col: str = "vec_id",
@@ -341,7 +344,7 @@ def embedding_duplicate_pairs(
     """
     base = vectors.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")
-    ).localCheckpoint(eager=True)
+    ).transform(stage("sim"))
     band_arr = F.array(
         *[
             _sign_bucket_expr(F.col("_v"), _hyperplanes(dim, n_planes, seed + i))
@@ -352,7 +355,7 @@ def embedding_duplicate_pairs(
     # self-join sides consume it
     buckets = (
         base.select("vec_id", F.posexplode(band_arr).alias("band", "bucket"))
-        .localCheckpoint(eager=True)
+        .transform(stage("sim"))
     )
     sizes = buckets.groupBy("band", "bucket").agg(F.count("*").alias("_sz"))
     bounded = buckets.join(

@@ -417,6 +417,95 @@ def test_drop_duplicate_lines_keep_first_and_idempotent(spark):
     }
 
 
+def test_oracle_lloyd_kmeans_is_independent_and_agrees():
+    """ADVICE r3: the ann_ivf_kmeans oracle must not reuse the Spark-side
+    lloyd_kmeans. _oracle_lloyd_kmeans is a from-scratch reimplementation
+    (per-vector assignment loop, explicit accumulate/divide); both must
+    produce bit-identical centroids on the same deterministic spec — on
+    the gate's actual sf0.01 sample and on synthetic data. (Sequential and
+    NumPy small-block summation coincide below the pairwise blocksize, so
+    identity here is exact, not approximate.)"""
+    import numpy as np
+
+    from nativeextractor_spark.queries import _oracle_lloyd_kmeans
+    from nativeextractor_spark.textops.similarity import lloyd_kmeans
+
+    rng = np.random.RandomState(7)
+    X = rng.standard_normal((300, 16)).tolist()
+    a, b = lloyd_kmeans(X, 8), _oracle_lloyd_kmeans(X, 8)
+    assert [[repr(x) for x in c] for c in a] == [[repr(x) for x in c] for c in b]
+
+    try:
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(
+            "/root/testdata/sf0.01/embeddings.parquet",
+            columns=["vec_id", "embedding"],
+        )
+    except Exception:
+        pytest.skip("sf0.01 embeddings not available")
+    rows = sorted(zip(tbl["vec_id"].to_pylist(), tbl["embedding"].to_pylist()))
+    X = [v for _, v in rows[:4096]]
+    a, b = lloyd_kmeans(X, 8), _oracle_lloyd_kmeans(X, 8)
+    assert [[repr(x) for x in c] for c in a] == [[repr(x) for x in c] for c in b]
+
+
+def test_gopher_repetition_hash_vs_string_flavor(spark):
+    """The no-string-allocation gram-key flavor (default) and the
+    oracle-replayable string flavor compute identical metrics — including
+    on documents with (count, length)-tied top grams, where the flavors
+    pick different grams but the SAME count*length contribution."""
+    from nativeextractor_spark.textops.lines import gopher_repetition
+
+    rows = [
+        (1, "aa bb aa bb aa bb cc dd ee ff gg hh ii jj"),
+        (2, "one two three four five six seven eight nine ten"),
+        # all 2-grams unique (count tie at 1) with differing lengths
+        (3, "x yyyy z w vv uuu"),
+        (4, None),
+        (5, "line\nline\nline\nother stuff here now"),
+    ] + [(100 + i, f"doc {i} body " + " ".join(f"t{i}w{j}" for j in range(30)))
+         for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    h = sorted(map(tuple, gopher_repetition(df, gram_key="hash").collect()))
+    s = sorted(map(tuple, gopher_repetition(df, gram_key="string").collect()))
+    assert h == s
+    plan = (
+        gopher_repetition(df, gram_key="hash")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "array_join" not in plan  # no gram string is ever built
+    with pytest.raises(ValueError):
+        gopher_repetition(df, gram_key="nope")
+
+
+def test_drop_duplicate_lines_hash_vs_string_flavor(spark):
+    """The 8-byte-key shuffle flavor (default) and the raw-string flavor
+    (oracle-replayable) agree row-for-row; the hash flavor's plan carries
+    xxhash64 keys."""
+    from nativeextractor_spark.textops.lines import drop_duplicate_lines
+
+    df = spark.createDataFrame(
+        [(i, f"hdr\nbody {i % 7}\nhdr\ntail {i}") for i in range(40)]
+        + [(100, None), (101, "")],
+        "doc_id long, text string",
+    )
+    h = sorted(map(tuple, drop_duplicate_lines(df, line_key="hash").collect()))
+    s = sorted(map(tuple, drop_duplicate_lines(df, line_key="string").collect()))
+    assert h == s
+    plan = (
+        drop_duplicate_lines(df, line_key="hash")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "xxhash64" in plan
+    with pytest.raises(ValueError):
+        drop_duplicate_lines(df, line_key="nope")
+
+
 def test_redact_pii_spans_and_nulls(spark):
     from nativeextractor_spark.textops import redact_pii
 
@@ -590,7 +679,8 @@ def test_curate_corpus_duplicate_ids_do_not_multiply(spark):
     )
     out, metrics = curate_corpus(df, near_dedup=False, redact=False)
     rows = out.collect()
-    assert metrics["n_input"] == 2  # id-deduped upfront
+    assert metrics["n_input"] == 3  # real input volume (ADVICE r3)
+    assert metrics["n_distinct_ids"] == 2  # surfaces the id collision
     assert len(rows) == len({r.url for r in rows}) == 2
     # deterministic pick: min text per id
     assert {r.url: r.text for r in rows}["a"] == min(good(1), good(2))
