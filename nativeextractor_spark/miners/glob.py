@@ -367,11 +367,13 @@ class GlobMiner(PatternMiner):
     - ``regex`` — C-speed ``re`` scanning when :func:`regex_engine_safe`
       (star-free) or :func:`trailing_star_safe` (``A*``) proves scan-level
       equivalence;
-    - ``fast_star`` — the vectorized single-star scan
-      (:func:`~nativeextractor_spark.miners.glob_exact.fast_star_scan`,
-      r3): attempts resolved by C-level regex calls, failure-advance and
-      end-mark-leak guards reproduced closed-form; property-tested against
-      the naive machine walk;
+    - ``fast_star`` — the vectorized single-star scans
+      (:func:`~nativeextractor_spark.miners.glob_exact.fast_star_scan`
+      for mid-star ``A*B`` (r3) and
+      :func:`~nativeextractor_spark.miners.glob_exact.fast_star_first_scan`
+      for star-first ``*B`` (r4)): attempts resolved by C-level regex
+      calls, failure-advance and end-mark-leak guards reproduced
+      closed-form; property-tested against the naive machine walk;
     - ``exact`` — the transcribed reference cursor machine for everything
       else (multi-star, escapes, delimiter-matching elements) — bit-exact
       including failure-advance scan guards.
@@ -394,11 +396,17 @@ class GlobMiner(PatternMiner):
         if engine not in ("auto", "exact", "regex", "fast_star"):
             raise ValueError(f"unknown engine {engine!r}")
         if engine == "auto":
-            from nativeextractor_spark.miners.glob_exact import fast_star_class
+            from nativeextractor_spark.miners.glob_exact import (
+                fast_star_class,
+                star_first_class,
+            )
 
             if regex_engine_safe(glob) or trailing_star_safe(glob):
                 engine = "regex"
-            elif fast_star_class(glob) is not None:
+            elif (
+                fast_star_class(glob) is not None
+                or star_first_class(glob) is not None
+            ):
                 engine = "fast_star"
             else:
                 engine = "exact"

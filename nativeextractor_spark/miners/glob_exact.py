@@ -307,7 +307,13 @@ def _candidate_re(glob: str):
     that by attempting such positions literally (see reference_glob_scan).
     Star-first globs (unconstrained first char) and delimiter-starting
     globs (no entry skip; includes every set-starting glob via the
-    raw-'[' quirk) get no prefilter.
+    raw-'[' quirk) get no prefilter HERE: with no first element to
+    reject candidates, token-start anchoring prunes nothing for the
+    per-attempt machine walk (measured ~15% slower on single-space text),
+    so multi-star star-first globs stay on the plain naive walk. The
+    single-star star-first class instead uses the same token-start anchor
+    inside :func:`fast_star_first_scan`, where each candidate costs ONE
+    C regex call and the anchoring IS the win.
     """
     if not glob or glob[0] == "*" or _starts_with_delimiter(glob):
         return None
@@ -333,9 +339,10 @@ def fast_star_class(glob: str):
     single-star class, else None.
 
     Class requirements (each keeps one machine behavior closed-form):
-    - exactly one top-level ``*``, neither first nor last element (star-
-      first globs have no prefilter; trailing stars go to the regex engine
-      via :func:`~nativeextractor_spark.miners.glob.trailing_star_safe`);
+    - exactly one top-level ``*``, neither first nor last element
+      (star-first globs run :func:`fast_star_first_scan`; trailing stars
+      go to the regex engine via
+      :func:`~nativeextractor_spark.miners.glob.trailing_star_safe`);
     - no escapes (raw-backslash probe quirk), A and B in the proven
       star-free regex class (every element delimiter-free, so A/B matches
       never cross token boundaries and consume a fixed char count);
@@ -432,6 +439,10 @@ def fast_star_scan(text: str, glob: str) -> list[tuple[int, int]]:
     Property-tested against :func:`_reference_glob_scan_naive` over random
     texts and class globs.
     """
+    if fast_star_class(glob) is None and star_first_class(glob) is not None:
+        # the 'fast_star' engine name covers both single-star classes;
+        # star-first patterns run the simpler anchored scan
+        return fast_star_first_scan(text, glob)
     combo_re, b_re, rest_skips = _fast_star_res(glob)
     cand = _candidate_re(glob)
     delim_search = _delim_re().search
@@ -485,6 +496,105 @@ def fast_star_scan(text: str, glob: str) -> list[tuple[int, int]]:
         e = m.end()
         out.append((p, e))
         pos = max(p + 1, e + 1 if e < n else e)
+    return out
+
+
+def star_first_class(glob: str):
+    """The rest B when ``glob`` = ``*`` + B is in the vectorizable
+    star-first class (r4, VERDICT r3 item 6), else None.
+
+    Class: exactly one top-level ``*`` as the FIRST element (no escapes —
+    split_single_star already rejects them), B star-free in the proven
+    regex class (delimiter-free elements). B may be empty (the bare ``*``
+    glob). Returns B (possibly ``""``).
+    """
+    from nativeextractor_spark.miners.glob import (
+        regex_engine_safe,
+        split_single_star,
+    )
+
+    sp = split_single_star(glob)
+    if sp is None:
+        return None
+    a, b = sp
+    if a:
+        return None
+    if b and not regex_engine_safe(b):
+        return None
+    return b
+
+
+@_lru_cache(maxsize=1024)
+def _star_first_res(glob: str):
+    from nativeextractor_spark.functions.unicode import class_body
+    from nativeextractor_spark.miners.base import compile_cached
+    from nativeextractor_spark.miners.glob import translate_fragment
+
+    d = class_body("delim")
+    tail = f"(?:(?=[{d}])|\\Z)"
+    body_re = compile_cached(f"{translate_fragment(glob)}{tail}")
+    # token-start candidates: the glob-level entry skip applies to the
+    # non-delimiter-starting '*', and the star rejects no content char —
+    # an attempt anywhere in a delimiter run is state-identical to the
+    # attempt at the next token start (mark_start lands AFTER the skip,
+    # verified against the naive walk)
+    cand_re = compile_cached(f"(?:\\A|(?<=[{d}]))[^{d}]")
+    return body_re, cand_re
+
+
+def fast_star_first_scan(text: str, glob: str) -> list[tuple[int, int]]:
+    """Vectorized scan for :func:`star_first_class` globs (``*B``) — one
+    anchored C regex call per candidate token (VERDICT r3 item 6).
+
+    Why this class is SIMPLER than the mid-star one:
+
+    - **Attempts anchor at token starts.** ``*`` is non-delimiter-starting
+      (glob.c probes ``*`` directly), so the glob-level entry skip runs:
+      an attempt anywhere in a delimiter run marks its start at the next
+      content char — state-identical to the anchored attempt there — and
+      the star's first element rejects no content char, so candidates are
+      exactly the token starts.
+    - **pos0 = p.** The empty prefix consumes nothing, so the star begins
+      at the attempt char itself, which is non-delimiter by construction —
+      the pos0-on-delimiter skip-probe of the mid-star engine can never
+      arise, and every rest attempt happens at a non-delimiter position in
+      [p, d*).
+    - **Leaks never move the guard.** B is delimiter-free, so any
+      failed-tail rest match ends <= d* < failpos = d*+1 — in-range, like
+      the mid-star in-range case. With no out-of-range leak and no
+      skip-probe, the guard can never park mid-token, so the literal
+      unanchored attempt arm of the mid-star loop is dead here and the
+      whole scan is candidate → one anchored match → emit or jump
+      one-past-the-token.
+
+    On failure the machine dies on the first delimiter STRICTLY after p
+    (the star walks the token; the landed-on-delimiter check is post-move)
+    and retnuls to d*+1. On success the translated body's star encoding
+    reproduces the machine try order (rest first, then successive
+    non-delimiter chars), the tail consumes the token-end delimiter, and
+    the guard advances to end+1 — exactly the mid-star success rule.
+
+    Property-tested against :func:`_reference_glob_scan_naive`.
+    """
+    body_re, cand_re = _star_first_res(glob)
+    delim_search = _delim_re().search
+    out: list[tuple[int, int]] = []
+    n = len(text)
+    pos = 0
+    search = cand_re.search
+    while pos < n:
+        hit = search(text, pos)
+        if hit is None:
+            break
+        p = hit.start()
+        m = body_re.match(text, p)
+        if m is not None:
+            e = m.end()
+            out.append((p, e))
+            pos = max(p + 1, e + 1 if e < n else e)
+        else:
+            hitd = delim_search(text, p + 1)
+            pos = hitd.start() + 1 if hitd else n
     return out
 
 

@@ -206,6 +206,31 @@ SELECT doc_id, n_matches FROM (
 """
 
 
+def q_glob_star_first(spark, sf_dir):
+    """Star-first glob ``*k`` on the r4 fast_star_first engine (anchored
+    token-start candidates, one C regex call per candidate — reference
+    golden class tests/glob.c:269-280)."""
+    occ = extract_occurrences(
+        _docs(spark, sf_dir), [GlobMiner("*k")], key_col="doc_id"
+    )
+    return (
+        occ.groupBy(F.col("doc_id").cast("long").alias("doc_id"))
+        .agg(F.count("*").alias("n_matches"))
+    )
+
+
+# documents text is space-separated delimiter-free words, where star-first
+# machine semantics reduce to whole-token regex: '*k' ≡ tokens ending in k
+O_GLOB_STAR_FIRST = """
+SELECT doc_id, n_matches FROM (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '),
+             t -> regexp_full_match(t, '.*k'))) AS n_matches
+  FROM documents
+) WHERE n_matches > 0
+"""
+
+
 def q_ner_prefix_match(spark, sf_dir):
     gaz = GazetteerMiner(AliasDict.from_aliases(_NER_DICT), label="NER")
     occ = extract_occurrences(_docs(spark, sf_dir), [gaz], key_col="doc_id")
@@ -1677,6 +1702,7 @@ O_MULTIMODAL_FEATURES = _multimodal_oracle_sql()
 QUERIES = {
     "glob_token_the": q_glob_token_the,
     "glob_star_sk": q_glob_star_sk,
+    "glob_star_first": q_glob_star_first,
     "ner_prefix_match": q_ner_prefix_match,
     "fixture_entities": q_fixture_entities,
     "fixture_glob_counts": q_fixture_glob_counts,
@@ -1725,6 +1751,7 @@ def build_oracles() -> dict[str, str]:
     return {
         "glob_token_the": O_GLOB_TOKEN_THE,
         "glob_star_sk": O_GLOB_STAR_SK,
+        "glob_star_first": O_GLOB_STAR_FIRST,
         "ner_prefix_match": O_NER_PREFIX_MATCH,
         "fixture_entities": O_FIXTURE_ENTITIES,
         "fixture_glob_counts": O_FIXTURE_GLOB_COUNTS,

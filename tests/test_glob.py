@@ -94,3 +94,22 @@ def test_is_glob_escaped_dash():
 def test_golden_counts_regex_engine(text, glob, expected):
     """The vectorized regex engine passes every reference fixture too."""
     assert len(list(GlobMiner(glob, engine="regex").find(text))) == expected
+
+
+@pytest.mark.parametrize("text,glob,expected", CASES)
+def test_golden_counts_exact_engine(text, glob, expected):
+    """The exact machine (forced) passes every reference fixture — pins
+    that auto-engine improvements (r4 star-first prefilter/fast path)
+    keep the forced-exact path bit-equal."""
+    assert len(list(GlobMiner(glob, engine="exact").find(text))) == expected
+
+
+def test_star_first_fast_and_exact_spans_agree():
+    """r4 star-first fast path: spans (not just counts) equal the exact
+    machine on the reference song and on delimiter-run-heavy text."""
+    texts = [SONG, "abc  kle", "  kle", "x kkle", "tackle  pickle\tkle.kle"]
+    for g in ("*", "*kle", "*k?e", "*[kK]le"):
+        for t in texts:
+            fast = [(o.ustart, o.uend) for o in GlobMiner(g, engine="fast_star").find(t)]
+            exact = [(o.ustart, o.uend) for o in GlobMiner(g, engine="exact").find(t)]
+            assert fast == exact, (g, t)

@@ -114,8 +114,12 @@ def test_auto_engine_selection():
     assert GlobMiner("s*k").engine == "fast_star"  # single mid-star (r3)
     assert GlobMiner("b*?").engine == "fast_star"
     assert GlobMiner("s*[kx]").engine == "fast_star"  # set-rest (quirk: no skip-probe)
+    assert GlobMiner("*k").engine == "fast_star"  # star-first (r4)
+    assert GlobMiner("*").engine == "fast_star"  # bare star (r4)
+    assert GlobMiner("*[kx]a").engine == "fast_star"  # star-first set rest
     assert GlobMiner("a*b*c").engine == "exact"  # multi-star
-    assert GlobMiner("*k").engine == "exact"  # star-first: no prefilter
+    assert GlobMiner("*a*").engine == "exact"  # multi-star star-first
+    assert GlobMiner("*\\a").engine == "exact"  # escape in rest
     assert GlobMiner("a.b").engine == "exact"  # literal delimiter
     assert GlobMiner("a*.").engine == "exact"  # delimiter in rest
     assert GlobMiner("\\a").engine == "exact"  # escape probes raw backslash
@@ -148,6 +152,52 @@ def test_fast_star_scan_equals_naive_walk(text, glob):
     if not is_glob(glob) or fast_star_class(glob) is None:
         return
     assert fast_star_scan(text, glob) == _reference_glob_scan_naive(
+        text, glob
+    ), f"text={text!r} glob={glob!r}"
+
+
+@settings(max_examples=400, deadline=None)
+@given(
+    text=st.text(alphabet="abcABC .x-\t?", min_size=0, max_size=45),
+    glob=st.one_of(st.just(""), starfree_globs()).map(lambda b: "*" + b),
+)
+def test_star_first_scan_equals_naive_walk(text, glob):
+    """The r4 star-first scan (``*B``, anchored candidates, no literal
+    arm) must be span-identical to the literal extractor walk on arbitrary
+    text over its whole class — including the bare ``*`` glob."""
+    from nativeextractor_spark.miners.glob_exact import (
+        _reference_glob_scan_naive,
+        fast_star_first_scan,
+        star_first_class,
+    )
+
+    if not is_glob(glob) or star_first_class(glob) is None:
+        return
+    assert fast_star_first_scan(text, glob) == _reference_glob_scan_naive(
+        text, glob
+    ), f"text={text!r} glob={glob!r}"
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    text=st.text(alphabet="abcABC .x-\t?", min_size=0, max_size=45),
+    glob=st.tuples(starfree_globs(), starfree_globs()).map(
+        lambda ab: "*" + ab[0] + "*" + ab[1]
+    ),
+)
+def test_star_first_multistar_scan_equals_naive_walk(text, glob):
+    """Multi-star star-first patterns stay on the exact machine (r4
+    measured the token-start prefilter ~15% SLOWER for them — no first
+    element to reject candidates); pin that the full scan entrypoint
+    remains walk-identical for this class."""
+    from nativeextractor_spark.miners.glob_exact import (
+        _reference_glob_scan_naive,
+        reference_glob_scan,
+    )
+
+    if not is_glob(glob):
+        return
+    assert reference_glob_scan(text, glob) == _reference_glob_scan_naive(
         text, glob
     ), f"text={text!r} glob={glob!r}"
 
