@@ -994,6 +994,228 @@ from functools import lru_cache as _lru_cache
 _ann_ivf_kmeans_oracle_sql = _lru_cache(maxsize=1)(_ann_ivf_kmeans_oracle_sql)
 
 
+def _clustered_fixture_df(spark):
+    from nativeextractor_spark.datagen.embeddings import clustered_embeddings_df
+
+    return clustered_embeddings_df(spark)
+
+
+_CLUSTERED_QUERY_MOD = 30  # one query per cluster: vec_id % PER_CLUSTER == 0
+
+
+def q_ann_recall_clustered(spark, sf_dir):
+    """Recall@k on the DETERMINISTIC CLUSTERED fixture (VERDICT r3 item 5):
+    8 planted Gaussian clusters, one query per cluster. Demonstrates tuned
+    recall a user can act on — multi-band LSH (r4 n_bands) closes the
+    single-band miss gap and the trained-codebook IVF finds the planted
+    structure; the tuning curve is recorded in BENCH/BASELINE.md.
+    Ignores sf_dir (the fixture is synthesised in-process). One row per
+    (method, query)."""
+    from nativeextractor_spark.textops.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf,
+        cosine_topk_lsh,
+    )
+
+    emb = _clustered_fixture_df(spark)
+    queries = emb.where(F.col("vec_id") % _CLUSTERED_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk_bruteforce(emb, queries, k=_ANN_K).select(
+        "query_id", "vec_id"
+    )
+    # measured tuning curve on this fixture (BENCH/BASELINE.md):
+    #   8 planes x 1 band  -> 0.400   (the r3 single-band gap)
+    #   8 planes x 4 bands -> 0.675   (bands close the miss probability)
+    #   4 planes x 8 bands -> 0.975   (tuned: wider buckets + more bands)
+    #   trained IVF, nprobe=2 -> 1.000 (the codebook finds the planted clusters)
+    methods = [
+        ("lsh1", lambda: cosine_topk_lsh(emb, queries, k=_ANN_K, n_planes=8, dim=16)),
+        ("lsh4", lambda: cosine_topk_lsh(
+            emb, queries, k=_ANN_K, n_planes=8, dim=16, n_bands=4)),
+        ("lsh_tuned", lambda: cosine_topk_lsh(
+            emb, queries, k=_ANN_K, n_planes=4, dim=16, n_bands=8)),
+        ("ivf_kmeans", lambda: cosine_topk_ivf(
+            emb, queries, k=_ANN_K, n_centroids=8, nprobe=2, codebook="kmeans")),
+    ]
+    qids = queries.select("query_id")
+    parts = []
+    for name, fn in methods:
+        approx = fn().select("query_id", "vec_id")
+        hits = (
+            approx.join(exact, ["query_id", "vec_id"])
+            .groupBy("query_id")
+            .agg(F.count("*").alias("hits"))
+        )
+        parts.append(
+            qids.join(hits, "query_id", "left").select(
+                F.lit(name).alias("method"),
+                "query_id",
+                F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+                F.round(
+                    F.coalesce(F.col("hits"), F.lit(0)) / F.lit(float(_ANN_K)), 6
+                ).alias("recall_at_k"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _ann_recall_clustered_oracle_sql() -> str:
+    """DuckDB recomputation of the clustered-fixture recall: the fixture
+    vectors are inlined as VALUES literals (the coordinates are rounded to
+    6 decimals at generation, so decimal round-trip is exact), the per-band
+    hyperplanes as DOUBLE[] literals, and the IVF codebook is retrained by
+    the INDEPENDENT :func:`_oracle_lloyd_kmeans`. No table dependency."""
+    from nativeextractor_spark.datagen.embeddings import (
+        clustered_embedding_rows,
+    )
+    from nativeextractor_spark.textops.similarity import (
+        _hyperplanes,
+        _seq_sq_norm,
+    )
+
+    rows = clustered_embedding_rows()
+    values = ",\n    ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            vid, ", ".join(repr(float(x)) for x in vec)
+        )
+        for vid, vec in rows
+    )
+
+    def bucket_expr(band: int, n_planes: int = 8) -> str:
+        planes = _hyperplanes(dim=16, n_planes=n_planes, seed=42 + band)
+        terms = []
+        for p in range(planes.shape[0]):
+            lit = (
+                "[" + ", ".join(repr(float(x)) for x in planes[p]) + "]::DOUBLE[]"
+            )
+            terms.append(
+                f"(CASE WHEN list_dot_product(ve, {lit}) >= 0"
+                f" THEN {1 << p} ELSE 0 END)"
+            )
+        return "(" + " + ".join(terms) + ")"
+
+    cents = _oracle_lloyd_kmeans([vec for _, vec in rows], 8)
+    cent_values = ",\n    ".join(
+        "({}, [{}]::DOUBLE[], {!r})".format(
+            cid, ", ".join(repr(float(x)) for x in cv), _seq_sq_norm(cv)
+        )
+        for cid, cv in enumerate(cents)
+    )
+
+    def cosc(v, c, n):
+        return (
+            f"round(list_dot_product({v}, {c})"
+            f" / (sqrt(list_dot_product({v}, {v})) * {n}), 6)"
+        )
+
+    def band_cands(n_bands: int, n_planes: int) -> str:
+        return "\n  UNION\n  ".join(
+            f"SELECT q.query_id, b.vec_id FROM"
+            f" (SELECT vec_id, {bucket_expr(band, n_planes)} AS bk FROM v) b JOIN"
+            f" (SELECT vec_id AS query_id, {bucket_expr(band, n_planes)} AS bk FROM v"
+            f"  WHERE vec_id % {_CLUSTERED_QUERY_MOD} = 0) q ON b.bk = q.bk"
+            for band in range(n_bands)
+        )
+    return f"""
+WITH v AS (SELECT * FROM (VALUES
+    {values}) AS t(vec_id, ve)),
+q AS (SELECT vec_id AS query_id, ve AS qv FROM v
+      WHERE vec_id % {_CLUSTERED_QUERY_MOD} = 0),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, x.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {_cos_sql('x.ve', 'q.qv')} DESC, x.vec_id) AS r
+    FROM v x CROSS JOIN q) WHERE r <= {_ANN_K}
+),
+lsh1 AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, b.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {_cos_sql('b.ve', 'q.qv')} DESC, b.vec_id) AS r
+    FROM (SELECT vec_id, ve, {bucket_expr(0)} AS bk FROM v) b
+    JOIN (SELECT query_id, qv, {bucket_expr(0)} AS bk
+          FROM (SELECT vec_id AS query_id, ve AS qv, ve FROM v
+                WHERE vec_id % {_CLUSTERED_QUERY_MOD} = 0)) q
+      ON b.bk = q.bk) WHERE r <= {_ANN_K}
+),
+cand4 AS (
+  {band_cands(4, 8)}
+),
+lsh4 AS (
+  SELECT query_id, vec_id FROM (
+    SELECT c.query_id, c.vec_id,
+           row_number() OVER (PARTITION BY c.query_id
+             ORDER BY {_cos_sql('b.ve', 'q.qv')} DESC, c.vec_id) AS r
+    FROM cand4 c JOIN v b ON b.vec_id = c.vec_id
+    JOIN q ON q.query_id = c.query_id) WHERE r <= {_ANN_K}
+),
+cand_tuned AS (
+  {band_cands(8, 4)}
+),
+lsh_tuned AS (
+  SELECT query_id, vec_id FROM (
+    SELECT c.query_id, c.vec_id,
+           row_number() OVER (PARTITION BY c.query_id
+             ORDER BY {_cos_sql('b.ve', 'q.qv')} DESC, c.vec_id) AS r
+    FROM cand_tuned c JOIN v b ON b.vec_id = c.vec_id
+    JOIN q ON q.query_id = c.query_id) WHERE r <= {_ANN_K}
+),
+c AS (SELECT * FROM (VALUES
+    {cent_values}) AS t(cent_id, cv, cnorm)),
+asg AS (
+  SELECT vec_id, ve, cell FROM (
+    SELECT x.vec_id, x.ve, c.cent_id AS cell,
+           row_number() OVER (PARTITION BY x.vec_id
+             ORDER BY {cosc('x.ve', 'c.cv', 'c.cnorm')} DESC, c.cent_id) AS r
+    FROM v x CROSS JOIN c) WHERE r = 1
+),
+probes AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.query_id, q.qv, c.cent_id AS cell,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {cosc('q.qv', 'c.cv', 'c.cnorm')} DESC, c.cent_id) AS r
+    FROM q CROSS JOIN c) WHERE r <= 2
+),
+ivfk AS (
+  SELECT query_id, vec_id FROM (
+    SELECT p.query_id, a.vec_id,
+           row_number() OVER (PARTITION BY p.query_id
+             ORDER BY {_cos_sql('a.ve', 'p.qv')} DESC, a.vec_id) AS r
+    FROM asg a JOIN probes p ON a.cell = p.cell) WHERE r <= {_ANN_K}
+),
+methods AS (SELECT 'lsh1' AS method UNION ALL SELECT 'lsh4'
+            UNION ALL SELECT 'lsh_tuned' UNION ALL SELECT 'ivf_kmeans'),
+appr AS (
+  SELECT 'lsh1' AS method, query_id, vec_id FROM lsh1
+  UNION ALL SELECT 'lsh4', query_id, vec_id FROM lsh4
+  UNION ALL SELECT 'lsh_tuned', query_id, vec_id FROM lsh_tuned
+  UNION ALL SELECT 'ivf_kmeans', query_id, vec_id FROM ivfk
+),
+h AS (
+  SELECT a.method, a.query_id, count(*) AS hits
+  FROM appr a JOIN exact e
+    ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+  GROUP BY a.method, a.query_id
+),
+qids AS (SELECT query_id FROM q)
+SELECT m.method, qi.query_id,
+       coalesce(h.hits, 0)::BIGINT AS hits,
+       round(coalesce(h.hits, 0) / {float(_ANN_K)}, 6) AS recall_at_k
+FROM methods m CROSS JOIN qids qi
+LEFT JOIN h ON h.method = m.method AND h.query_id = qi.query_id
+"""
+
+
+_ann_recall_clustered_oracle_sql = _lru_cache(maxsize=1)(
+    _ann_recall_clustered_oracle_sql
+)
+
+
 def q_ann_recall(spark, sf_dir):
     """Recall@k of every approximate ANN path vs the exact brute-force
     top-k — the tuning metric a user adjusts n_planes/nprobe against
@@ -1703,6 +1925,7 @@ QUERIES = {
     "glob_token_the": q_glob_token_the,
     "glob_star_sk": q_glob_star_sk,
     "glob_star_first": q_glob_star_first,
+    "ann_recall_clustered": q_ann_recall_clustered,
     "ner_prefix_match": q_ner_prefix_match,
     "fixture_entities": q_fixture_entities,
     "fixture_glob_counts": q_fixture_glob_counts,
@@ -1791,6 +2014,7 @@ def build_oracles() -> dict[str, str]:
         "ann_ivf": O_ANN_IVF,
         "ann_ivf_kmeans": _ann_ivf_kmeans_oracle_sql(),
         "ann_recall": _ann_recall_oracle_sql(),
+        "ann_recall_clustered": _ann_recall_clustered_oracle_sql(),
         "embedding_dup_pairs": O_EMBEDDING_DUP_PAIRS,
         "multimodal_features": O_MULTIMODAL_FEATURES,
     }

@@ -90,14 +90,76 @@ def cosine_topk_lsh(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 42,
+    *,
+    n_bands: int = 1,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane sign buckets, candidates share a
     bucket with the query, exact cosine re-rank inside the bucket.
 
     At scale the bucket join replaces the full scan (2^n_planes buckets); the
-    hyperplane matrix is a broadcast literal. Recall is tunable via n_planes.
-    Returns (query_id, vec_id, cosine, rank).
+    hyperplane matrix is a broadcast literal. Recall is tunable two ways:
+    fewer ``n_planes`` (bigger buckets) or — without growing bucket size —
+    more ``n_bands`` (r4): each band is an independent plane set (seeds
+    ``seed+band``), a vector is a candidate if it shares ANY band's bucket
+    with the query, and the union of candidates is exact-cosine re-ranked.
+    Miss probability drops from (1-p^r) to (1-p^r)^b. n_bands=1 keeps the
+    original single-equi-join plan. Returns (query_id, vec_id, cosine, rank).
     """
+    if n_bands > 1:
+        band_v = F.array(
+            *[
+                _sign_bucket_expr(
+                    F.col(vec_col), _hyperplanes(dim, n_planes, seed + b)
+                )
+                for b in range(n_bands)
+            ]
+        )
+        v = vectors.select(
+            F.col(id_col).alias("vec_id"),
+            F.posexplode(band_v).alias("band", "bucket"),
+        )
+        q = F.broadcast(
+            queries.select(
+                F.col(query_id_col).alias("query_id"),
+                F.posexplode(band_v).alias("band", "bucket"),
+            )
+        )
+        # candidate pair set (dedup across bands), then one exact re-rank
+        cand = v.join(q, ["band", "bucket"]).select("query_id", "vec_id").distinct()
+        sim = (
+            cand.join(
+                vectors.select(
+                    F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")
+                ),
+                "vec_id",
+            )
+            .join(
+                F.broadcast(
+                    queries.select(
+                        F.col(query_id_col).alias("query_id"),
+                        F.col(vec_col).alias("_qv"),
+                    )
+                ),
+                "query_id",
+            )
+            .withColumn(
+                "cosine",
+                F.round(
+                    _dot(F.col("_v"), F.col("_qv"))
+                    / (_norm(F.col("_v")) * _norm(F.col("_qv"))),
+                    6,
+                ),
+            )
+            .drop("_v", "_qv")
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine"), F.asc("vec_id")
+        )
+        return (
+            sim.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "vec_id", "cosine", "rank")
+        )
     planes = _hyperplanes(dim, n_planes, seed)
     v = vectors.select(
         F.col(id_col).alias("vec_id"),

@@ -417,6 +417,62 @@ def test_drop_duplicate_lines_keep_first_and_idempotent(spark):
     }
 
 
+def test_ann_recall_clustered_tuning_curve(spark):
+    """VERDICT r3 item 5: on a clustered corpus the recall metric must
+    demonstrate TUNED behavior — multi-band LSH monotonically closes the
+    single-band gap and the trained-IVF path finds the planted clusters.
+    Pins the measured curve (deterministic fixture): lsh1 0.400 < lsh4
+    0.675 < lsh_tuned 0.975; ivf_kmeans 1.0."""
+    from nativeextractor_spark.queries import q_ann_recall_clustered
+
+    rows = q_ann_recall_clustered(spark, "unused").collect()
+    mean = {}
+    for m in ("lsh1", "lsh4", "lsh_tuned", "ivf_kmeans"):
+        rs = [r.recall_at_k for r in rows if r.method == m]
+        assert len(rs) == 8
+        mean[m] = sum(rs) / len(rs)
+    assert mean["lsh1"] < mean["lsh4"] < mean["lsh_tuned"]
+    assert mean["lsh_tuned"] >= 0.9
+    assert mean["ivf_kmeans"] >= 0.9
+    assert abs(mean["lsh1"] - 0.400) < 1e-6
+    assert abs(mean["lsh_tuned"] - 0.975) < 1e-6
+
+
+def test_lsh_topk_multiband_superset_of_single_band(spark):
+    """n_bands>1 candidates are a superset of band 0's, so per-query
+    recall can only improve; with enough bands the result converges to the
+    exact top-k on the clustered fixture."""
+    from nativeextractor_spark.datagen.embeddings import clustered_embeddings_df
+    from nativeextractor_spark.textops.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_lsh,
+    )
+    import pyspark.sql.functions as F
+
+    emb = clustered_embeddings_df(spark)
+    queries = emb.where(F.col("vec_id") % 30 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in cosine_topk_bruteforce(emb, queries, k=3).collect()
+    }
+    one = {
+        (r.query_id, r.vec_id)
+        for r in cosine_topk_lsh(
+            emb, queries, k=3, n_planes=4, dim=16, n_bands=1
+        ).collect()
+    }
+    many = {
+        (r.query_id, r.vec_id)
+        for r in cosine_topk_lsh(
+            emb, queries, k=3, n_planes=4, dim=16, n_bands=16
+        ).collect()
+    }
+    assert len(many & exact) >= len(one & exact)
+    assert many == exact  # 16 bands of 4 planes: converged
+
+
 def test_oracle_lloyd_kmeans_is_independent_and_agrees():
     """ADVICE r3: the ann_ivf_kmeans oracle must not reuse the Spark-side
     lloyd_kmeans. _oracle_lloyd_kmeans is a from-scratch reimplementation
