@@ -117,6 +117,19 @@ def _warm_workers(spark, cpus: int) -> None:
     spark.range(cpus * 4, numPartitions=cpus * 4).mapInPandas(
         k, schema="n long"
     ).count()
+    # JIT-warm the JVM shuffle/exchange/sort/agg codegen paths too: the
+    # first shuffle-heavy row otherwise pays one-time compilation that a
+    # long-lived cluster executor amortizes over hours (measured: the
+    # dedup row runs ~2x its warm floor when it is the session's first
+    # big exchange). A small range-based groupBy+join exercises exchange
+    # write/read, hash agg, and broadcast paths in ~2 s.
+    from pyspark.sql import functions as F
+
+    a = spark.range(200_000).select(
+        (F.col("id") % 1000).alias("k"), F.xxhash64("id").alias("v")
+    )
+    b = a.groupBy("k").agg(F.count("*").alias("c"), F.min("v").alias("m"))
+    a.join(b, "k").where(F.col("v") == F.col("m")).count()
 
 
 def _headline(spark, sf: float) -> dict[str, float]:
