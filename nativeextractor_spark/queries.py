@@ -1532,6 +1532,78 @@ FROM ls LEFT JOIN gw ON gw.doc_id = ls.doc_id
 """
 
 
+def q_gopher_repetition_span(spark, sf_dir):
+    """The FAITHFUL Gopher dup-gram rule (r4): dup{n}gram_char_frac is the
+    span-union character fraction (Rae et al. 2021), not the count-weighted
+    upper bound — interval merging runs as a sort+fold aggregate."""
+    from nativeextractor_spark.textops.lines import gopher_repetition
+
+    return gopher_repetition(_docs_with_lines(spark, sf_dir), dup_flavor="span")
+
+
+O_GOPHER_REPETITION_SPAN = f"""
+WITH {_DOCS_WITH_LINES_SQL},
+lr AS (SELECT doc_id, length(text) AS n_chars, unnest(string_split(text, chr(10))) AS line FROM d),
+lc AS (SELECT doc_id, n_chars, line, count(*) AS c FROM lr GROUP BY doc_id, n_chars, line),
+ls AS (SELECT doc_id, n_chars, sum(c) AS n_lines, sum(c - 1) AS dup_lines,
+              sum(c * length(line)) AS line_chars, sum((c - 1) * length(line)) AS dup_line_chars
+       FROM lc GROUP BY doc_id, n_chars),
+tk AS (SELECT doc_id, length(text) AS n_chars, regexp_split_to_array(text, '[ \\n]') AS toks FROM d),
+tk2 AS (SELECT *, list_transform(toks, t -> length(t)) AS tlens FROM tk),
+tk3 AS (SELECT *, list_transform(range(1, len(toks) + 1),
+                  i -> coalesce(list_sum(tlens[1:i-1]), 0) + (i - 1)) AS starts FROM tk2),
+g AS (SELECT doc_id, n_chars, n,
+        unnest(list_transform(range(1, greatest(len(toks) - n + 1, 0) + 1),
+          i -> struct_pack(gram := array_to_string(toks[i:i+n-1], ' '),
+                           s := starts[i],
+                           e := starts[i+n-1] + tlens[i+n-1]))) AS o
+      FROM tk3 CROSS JOIN (SELECT unnest([2,3,4,5,6,7,8,9,10]) AS n)),
+go AS (SELECT doc_id, n_chars, n, (o).gram AS gram, (o).s AS s, (o).e AS e FROM g),
+gc AS (SELECT doc_id, n_chars, n, gram, count(*) AS c FROM go GROUP BY doc_id, n_chars, n, gram),
+gr AS (SELECT *, row_number() OVER (PARTITION BY doc_id, n
+         ORDER BY c DESC, length(gram) DESC, gram DESC) AS r FROM gc),
+tops AS (SELECT doc_id, n_chars, n,
+           max(CASE WHEN r = 1 THEN c * length(gram) END) AS top_chars
+         FROM gr GROUP BY doc_id, n_chars, n),
+d1 AS (SELECT go.doc_id, go.n, go.s, go.e
+       FROM go JOIN gc ON gc.doc_id = go.doc_id AND gc.n = go.n AND gc.gram = go.gram
+       WHERE gc.c > 1),
+i1 AS (SELECT *, max(e) OVER (PARTITION BY doc_id, n ORDER BY s, e
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax FROM d1),
+i2 AS (SELECT *, sum(CASE WHEN prevmax IS NULL OR s > prevmax THEN 1 ELSE 0 END)
+         OVER (PARTITION BY doc_id, n ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS isl FROM i1),
+cov AS (SELECT doc_id, n, sum(mx - mn) AS covered FROM
+          (SELECT doc_id, n, isl, min(s) AS mn, max(e) AS mx FROM i2 GROUP BY doc_id, n, isl)
+        GROUP BY doc_id, n),
+fr AS (SELECT t.doc_id, t.n,
+         CASE WHEN t.n <= 4 THEN floor(t.top_chars * 1000000.0 / greatest(t.n_chars, 1)) / 1000000
+              ELSE floor(coalesce(cov.covered, 0) * 1000000.0 / greatest(t.n_chars, 1)) / 1000000 END AS frac
+       FROM tops t LEFT JOIN cov ON cov.doc_id = t.doc_id AND cov.n = t.n),
+gw AS (SELECT doc_id,
+         max(CASE WHEN n = 2 THEN frac END) AS t2, max(CASE WHEN n = 3 THEN frac END) AS t3,
+         max(CASE WHEN n = 4 THEN frac END) AS t4, max(CASE WHEN n = 5 THEN frac END) AS d5,
+         max(CASE WHEN n = 6 THEN frac END) AS d6, max(CASE WHEN n = 7 THEN frac END) AS d7,
+         max(CASE WHEN n = 8 THEN frac END) AS d8, max(CASE WHEN n = 9 THEN frac END) AS d9,
+         max(CASE WHEN n = 10 THEN frac END) AS d10
+       FROM fr GROUP BY doc_id)
+SELECT ls.doc_id,
+       floor(dup_lines * 1000000.0 / greatest(n_lines, 1)) / 1000000 AS dup_line_frac,
+       floor(dup_line_chars * 1000000.0 / greatest(line_chars, 1)) / 1000000 AS dup_line_char_frac,
+       coalesce(t2, 0.0) AS top2gram_char_frac, coalesce(t3, 0.0) AS top3gram_char_frac,
+       coalesce(t4, 0.0) AS top4gram_char_frac, coalesce(d5, 0.0) AS dup5gram_char_frac,
+       coalesce(d6, 0.0) AS dup6gram_char_frac, coalesce(d7, 0.0) AS dup7gram_char_frac,
+       coalesce(d8, 0.0) AS dup8gram_char_frac, coalesce(d9, 0.0) AS dup9gram_char_frac,
+       coalesce(d10, 0.0) AS dup10gram_char_frac,
+       (floor(dup_lines * 1000000.0 / greatest(n_lines, 1)) / 1000000 <= 0.30
+        AND floor(dup_line_chars * 1000000.0 / greatest(line_chars, 1)) / 1000000 <= 0.20
+        AND coalesce(t2, 0.0) <= 0.20 AND coalesce(t3, 0.0) <= 0.18 AND coalesce(t4, 0.0) <= 0.16
+        AND coalesce(d5, 0.0) <= 0.15 AND coalesce(d6, 0.0) <= 0.14 AND coalesce(d7, 0.0) <= 0.13
+        AND coalesce(d8, 0.0) <= 0.12 AND coalesce(d9, 0.0) <= 0.11 AND coalesce(d10, 0.0) <= 0.10)
+       AS repetition_pass
+FROM ls LEFT JOIN gw ON gw.doc_id = ls.doc_id
+"""
+
+
 def q_line_dedup(spark, sf_dir):
     from nativeextractor_spark.textops.lines import drop_duplicate_lines
 
@@ -1958,6 +2030,7 @@ QUERIES = {
     "winnow_fp": q_winnow_fp,
     "gopher_filters": q_gopher_filters,
     "gopher_repetition": q_gopher_repetition,
+    "gopher_repetition_span": q_gopher_repetition_span,
     "line_dedup": q_line_dedup,
     "redact_pii": q_redact_pii,
     "tpch_q1": q_tpch_q1,
@@ -2000,6 +2073,7 @@ def build_oracles() -> dict[str, str]:
         "winnow_fp": O_WINNOW_FP,
         "gopher_filters": O_GOPHER_FILTERS,
         "gopher_repetition": O_GOPHER_REPETITION,
+        "gopher_repetition_span": O_GOPHER_REPETITION_SPAN,
         "line_dedup": O_LINE_DEDUP,
         "redact_pii": _o_redact_pii(),
         "tpch_q1": O_TPCH_Q1,

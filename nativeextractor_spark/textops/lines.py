@@ -40,6 +40,7 @@ def gopher_repetition(
     text_col: str = "text",
     id_col: str = "doc_id",
     gram_key: str = "hash",
+    dup_flavor: str = "count",
 ) -> DataFrame:
     """Per-document Gopher repetition metrics + pass flags.
 
@@ -56,11 +57,24 @@ def gopher_repetition(
       one ``max(struct(count, len, key))`` aggregate, no window. Because
       the fraction depends only on (count, len), the pick is identical
       under BOTH gram keys below;
-    - ``dup{n}gram_char_frac`` (n=5..10): sum over n-grams with count>1 of
-      count * chars(gram) / chars(text). Overlapping occurrences are each
-      counted (the span-union flavor some curators use needs per-doc
-      interval merging, which would force the pass out of pure SQL; this
-      flavor upper-bounds it and uses the same thresholds).
+    - ``dup{n}gram_char_frac`` (n=5..10), per ``dup_flavor``:
+
+      * ``"count"`` (default) — sum over n-grams with count>1 of
+        count * chars(gram) / chars(text). Overlapping occurrences are
+        each counted, so this UPPER-BOUNDS the published rule and with
+        the paper's thresholds filters somewhat more aggressively
+        (documented in curate_corpus). Cheapest: pure aggregates, no
+        windows (plan-asserted).
+      * ``"span"`` (r4) — the FAITHFUL Gopher rule (Rae et al. 2021):
+        fraction of characters covered by at least one occurrence of a
+        duplicated n-gram — the union of the occurrences' character
+        intervals, merged per (doc, n). Token start offsets come from one
+        per-doc running-sum window over the token-length array; the
+        interval union itself is a sort+fold inside a single aggregate
+        (``aggregate(array_sort(collect_list(...)))``) — no second
+        window, no per-doc Python. Costs one extra shuffle (token
+        offsets) over the count flavor; pass rates ARE comparable to
+        published Gopher numbers.
 
     All fractions are truncated to 6 decimals with the num*1e6/den
     association. Lines explode once; grams explode the n values first,
@@ -93,6 +107,8 @@ def gopher_repetition(
     """
     if gram_key not in ("hash", "string"):
         raise ValueError(f"gram_key must be 'hash' or 'string', got {gram_key!r}")
+    if dup_flavor not in ("count", "span"):
+        raise ValueError(f"dup_flavor must be 'count' or 'span', got {dup_flavor!r}")
     # NULL text is treated as empty (split(NULL) would otherwise emit
     # zero rows and the document would vanish from the output)
     text = F.coalesce(F.col(text_col), F.lit(""))
@@ -106,9 +122,10 @@ def gopher_repetition(
         lines.alias("_lines"),
         toks.alias("_toks"),
     )
-    if gram_key == "hash":
+    if gram_key == "hash" or dup_flavor == "span":
         # token lengths once per doc; each gram's char length is then an
-        # integer fold over a slice — no string is built anywhere
+        # integer fold over a slice — no string is built anywhere. The
+        # span flavor also derives token start offsets from this array.
         base = base.withColumn(
             "_tlens", F.expr("transform(_toks, t -> length(t))")
         )
@@ -137,6 +154,53 @@ def gopher_repetition(
     # Spark's sequence(1, 0) counts DOWN, so the padded transform is
     # trimmed with an outer slice instead.
     ns = sorted(_TOP_NGRAM_MAX) + sorted(_DUP_NGRAM_MAX)
+    if dup_flavor == "span":
+        per_n = _per_n_span(base, ns, gram_key)
+    else:
+        per_n = _per_n_count(base, ns, gram_key)
+    frac = F.when(
+        F.col("n").isin(list(_TOP_NGRAM_MAX)),
+        _t6(F.col("top_chars"), F.col("n_chars")),
+    ).otherwise(_t6(F.col("dup_chars"), F.col("n_chars")))
+    gram_wide = (
+        per_n.withColumn("_frac", frac)
+        .groupBy("doc_id")
+        .pivot("n", ns)
+        .agg(F.first("_frac"))
+    )
+    cols = [
+        (
+            F.coalesce(F.col(str(n)), F.lit(0.0)).alias(
+                f"top{n}gram_char_frac"
+                if n in _TOP_NGRAM_MAX
+                else f"dup{n}gram_char_frac"
+            )
+        )
+        for n in ns
+    ]
+
+    out = line_stats.join(gram_wide, "doc_id", "left").select(
+        "doc_id",
+        _t6(F.col("dup_lines"), F.col("n_lines")).alias("dup_line_frac"),
+        _t6(F.col("dup_line_chars"), F.col("line_chars")).alias(
+            "dup_line_char_frac"
+        ),
+        *cols,
+    )
+    ok_lines = (F.col("dup_line_frac") <= _DUP_LINE_FRAC_MAX) & (
+        F.col("dup_line_char_frac") <= _DUP_LINE_CHAR_FRAC_MAX
+    )
+    ok = ok_lines
+    for n, thr in sorted(_TOP_NGRAM_MAX.items()):
+        ok = ok & (F.col(f"top{n}gram_char_frac") <= thr)
+    for n, thr in sorted(_DUP_NGRAM_MAX.items()):
+        ok = ok & (F.col(f"dup{n}gram_char_frac") <= thr)
+    return out.withColumn("repetition_pass", ok)
+
+
+def _per_n_count(base: DataFrame, ns: list[int], gram_key: str) -> DataFrame:
+    """(doc_id, n_chars, n, top_chars, dup_chars) under the count-weighted
+    flavor: dup_chars = sum over duplicated grams of count * chars."""
     if gram_key == "hash":
         gram_expr = (
             "slice(transform(sequence(1, greatest(size(_toks) - (n - 1), 1)),"
@@ -194,44 +258,128 @@ def gopher_repetition(
         (F.col("_top.c") * F.col("_top.glen")).alias("top_chars"),
         "dup_chars",
     )
-    frac = F.when(
-        F.col("n").isin(list(_TOP_NGRAM_MAX)),
-        _t6(F.col("top_chars"), F.col("n_chars")),
-    ).otherwise(_t6(F.col("dup_chars"), F.col("n_chars")))
-    gram_wide = (
-        per_n.withColumn("_frac", frac)
-        .groupBy("doc_id")
-        .pivot("n", ns)
-        .agg(F.first("_frac"))
-    )
-    cols = [
-        (
-            F.coalesce(F.col(str(n)), F.lit(0.0)).alias(
-                f"top{n}gram_char_frac"
-                if n in _TOP_NGRAM_MAX
-                else f"dup{n}gram_char_frac"
-            )
-        )
-        for n in ns
-    ]
+    return per_n
 
-    out = line_stats.join(gram_wide, "doc_id", "left").select(
+
+def _per_n_span(base: DataFrame, ns: list[int], gram_key: str) -> DataFrame:
+    """(doc_id, n_chars, n, top_chars, dup_chars) under the faithful
+    span-union flavor: dup_chars = characters covered by the union of the
+    character intervals of all duplicated-n-gram occurrences.
+
+    Plan: token start offsets via ONE running-sum window over the
+    posexploded token-length array (collected back to a per-doc array);
+    each gram occurrence then carries its interval [s, e) as a pure
+    projection (e - s doubles as the gram's char length); duplicated
+    occurrences (count > 1 on the gram key) are interval-merged per
+    (doc, n) by a sort+fold inside a single aggregate — no second window,
+    no per-doc Python. The top-gram pick reuses the count flavor's
+    (count, len, key) tie-break, so top fractions are identical across
+    flavors."""
+    from pyspark.sql import Window
+
+    tok = base.select("doc_id", F.posexplode("_tlens").alias("i0", "tl"))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("i0")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # token i0 (0-based) starts after all previous token chars plus i0
+    # single-char separators (split on a single-char class)
+    starts = (
+        tok.withColumn("s", F.coalesce(F.sum("tl").over(w), F.lit(0)) + F.col("i0"))
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("i0", "s")))
+            .getField("s")
+            .alias("_starts")
+        )
+    )
+    key = (
+        "xxhash64(slice(_toks, i, n))"
+        if gram_key == "hash"
+        else "array_join(slice(_toks, i, n), ' ')"
+    )
+    occ_expr = (
+        "slice(transform(sequence(1, greatest(size(_toks) - (n - 1), 1)),"
+        f" i -> struct({key} AS gk,"
+        "             element_at(_starts, i) AS s,"
+        # the sequence pads to >=1 entry even when the doc has no n-grams;
+        # the pad is trimmed by the outer slice, but it is EVALUATED first
+        # — clamp the end-token index so element_at stays in bounds (the
+        # clamped value never survives the slice)
+        "             element_at(_starts, least(i + n - 1, size(_starts)))"
+        "               + element_at(_tlens, least(i + n - 1, size(_tlens))) AS e)),"
+        " 1, greatest(size(_toks) - (n - 1), 0))"
+    )
+    occ = (
+        base.join(starts, "doc_id")
+        .select(
+            "doc_id",
+            "n_chars",
+            "_toks",
+            "_tlens",
+            "_starts",
+            F.explode(F.array(*[F.lit(n) for n in ns])).alias("n"),
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            "n",
+            F.explode(F.expr(occ_expr)).alias("_g"),
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            "n",
+            F.col("_g.gk").alias("gk"),
+            F.col("_g.s").alias("s"),
+            F.col("_g.e").alias("e"),
+        )
+    )
+    counts = occ.groupBy("doc_id", "n_chars", "n", "gk").agg(
+        F.count("*").alias("c"), F.max(F.col("e") - F.col("s")).alias("glen")
+    )
+    tops = counts.groupBy("doc_id", "n_chars", "n").agg(
+        F.max(F.struct(F.col("c"), F.col("glen"), F.col("gk"))).alias("_top")
+    ).select(
         "doc_id",
-        _t6(F.col("dup_lines"), F.col("n_lines")).alias("dup_line_frac"),
-        _t6(F.col("dup_line_chars"), F.col("line_chars")).alias(
-            "dup_line_char_frac"
+        "n_chars",
+        "n",
+        (F.col("_top.c") * F.col("_top.glen")).alias("top_chars"),
+    )
+    dup_occ = occ.join(
+        counts.where(F.col("c") > 1).select("doc_id", "n", "gk"),
+        ["doc_id", "n", "gk"],
+    )
+    # interval union: sort by (s, e), fold left — covered grows by the
+    # part of each interval past the running max end
+    fold = F.aggregate(
+        F.array_sort(F.collect_list(F.struct("s", "e"))),
+        F.struct(
+            F.lit(0).cast("long").alias("cov"), F.lit(0).cast("long").alias("cur")
         ),
-        *cols,
+        lambda acc, x: F.struct(
+            (
+                acc["cov"]
+                + F.greatest(
+                    x["e"] - F.greatest(x["s"], acc["cur"]), F.lit(0).cast("long")
+                )
+            ).alias("cov"),
+            F.greatest(acc["cur"], x["e"]).alias("cur"),
+        ),
     )
-    ok_lines = (F.col("dup_line_frac") <= _DUP_LINE_FRAC_MAX) & (
-        F.col("dup_line_char_frac") <= _DUP_LINE_CHAR_FRAC_MAX
+    spans = (
+        dup_occ.groupBy("doc_id", "n")
+        .agg(fold.alias("_f"))
+        .select("doc_id", "n", F.col("_f.cov").alias("dup_chars"))
     )
-    ok = ok_lines
-    for n, thr in sorted(_TOP_NGRAM_MAX.items()):
-        ok = ok & (F.col(f"top{n}gram_char_frac") <= thr)
-    for n, thr in sorted(_DUP_NGRAM_MAX.items()):
-        ok = ok & (F.col(f"dup{n}gram_char_frac") <= thr)
-    return out.withColumn("repetition_pass", ok)
+    return tops.join(spans, ["doc_id", "n"], "left").select(
+        "doc_id",
+        "n_chars",
+        "n",
+        "top_chars",
+        F.coalesce("dup_chars", F.lit(0)).alias("dup_chars"),
+    )
 
 
 def drop_duplicate_lines(

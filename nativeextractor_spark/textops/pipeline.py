@@ -5,13 +5,13 @@ Composes the curation operators in the standard web-corpus order
 
 1. **filter** — Gopher quality rules + repetition rules (and optionally a
    language allowlist); documents failing any enabled rule set drop out.
-   NOTE (ADVICE r3): the repetition rules use the count-weighted
-   ``dup{n}gram_char_frac`` flavor (every overlapping occurrence counts,
-   an upper bound on the paper's span-union fraction) with the paper's
-   unchanged thresholds — so this stage filters somewhat MORE aggressively
-   than published Gopher pass rates; do not compare survival percentages
-   to the paper's numbers directly. Relax the thresholds via
-   ``textops.lines`` if parity with published rates matters.
+   NOTE (ADVICE r3): by default the repetition rules use the
+   count-weighted ``dup{n}gram_char_frac`` flavor (every overlapping
+   occurrence counts, an upper bound on the paper's span-union fraction)
+   with the paper's unchanged thresholds — so the default filters
+   somewhat MORE aggressively than published Gopher pass rates. Pass
+   ``repetition_flavor="span"`` (r4) for the faithful span-union rule,
+   whose pass rates ARE comparable to the paper's.
 2. **exact dedup** — keep the smallest-id document per sha256(text).
 3. **line dedup** — C4-style corpus-wide keep-first line removal
    (boilerplate); rewrites the surviving documents' text.
@@ -42,6 +42,7 @@ def curate_corpus(
     *,
     quality_filter: bool = True,
     repetition_filter: bool = True,
+    repetition_flavor: str = "count",
     languages: list[str] | None = None,
     exact_dedup: bool = True,
     line_dedup: bool = True,
@@ -98,7 +99,13 @@ def curate_corpus(
             q = gopher_quality_filters(df, text_col="_text", id_col="_id")
             keep = q.where("gopher_pass").select(F.col("doc_id").alias("_id"))
         if repetition_filter:
-            r = gopher_repetition(df, text_col="_text", id_col="_id")
+            # repetition_flavor="span" applies the paper-faithful span-union
+            # dup-gram rule (pass rates comparable to published Gopher
+            # numbers); "count" (default) is the cheaper upper bound — see
+            # the module docstring note
+            r = gopher_repetition(
+                df, text_col="_text", id_col="_id", dup_flavor=repetition_flavor
+            )
             rk = r.where("repetition_pass").select(F.col("doc_id").alias("_id"))
             keep = rk if keep is None else keep.join(rk, "_id")
         if languages:

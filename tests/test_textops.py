@@ -537,6 +537,46 @@ def test_gopher_repetition_hash_vs_string_flavor(spark):
         gopher_repetition(df, gram_key="nope")
 
 
+def test_gopher_repetition_span_flavor(spark):
+    """The r4 span-union flavor implements the published Gopher rule:
+    dup{n}gram_char_frac is the fraction of characters covered by the
+    UNION of duplicated-gram occurrence intervals — hand-checked on a
+    fixture where the count flavor's upper bound exceeds 1.0."""
+    from nativeextractor_spark.textops.lines import gopher_repetition
+
+    df = spark.createDataFrame(
+        [
+            # 14 tokens, 41 chars; duplicated 5-grams at token positions
+            # {1,4} and {2,5}; interval union = [0, 26) → 26/41
+            (4, "aa bb cc aa bb cc aa bb cc dd ee ff gg hh"),
+            (2, "x y z w q r s t u v"),  # no duplicated grams
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    c = {r.doc_id: r for r in gopher_repetition(df, dup_flavor="count").collect()}
+    s = {r.doc_id: r for r in gopher_repetition(df, dup_flavor="span").collect()}
+    assert s[4].dup5gram_char_frac == 0.634146  # floor(26*1e6/41)/1e6
+    assert c[4].dup5gram_char_frac > 1.0  # the count upper bound overflows
+    for d in c:
+        for n in range(5, 11):
+            sv = getattr(s[d], f"dup{n}gram_char_frac")
+            assert sv <= getattr(c[d], f"dup{n}gram_char_frac") + 1e-9
+            assert sv <= 1.0 + 1e-9
+        # top fractions are flavor-independent by construction
+        for n in (2, 3, 4):
+            assert getattr(s[d], f"top{n}gram_char_frac") == getattr(
+                c[d], f"top{n}gram_char_frac"
+            )
+    # gram keys agree under span too
+    s2 = sorted(
+        map(tuple, gopher_repetition(df, dup_flavor="span", gram_key="string").collect())
+    )
+    assert s2 == sorted(map(tuple, gopher_repetition(df, dup_flavor="span").collect()))
+    with pytest.raises(ValueError):
+        gopher_repetition(df, dup_flavor="nope")
+
+
 def test_drop_duplicate_lines_hash_vs_string_flavor(spark):
     """The 8-byte-key shuffle flavor (default) and the raw-string flavor
     (oracle-replayable) agree row-for-row; the hash flavor's plan carries
