@@ -109,4 +109,7 @@ def materialize(df: DataFrame, name: str = "stage") -> DataFrame:
         _staging_dir(), "parquet", f"{name}-{uuid.uuid4().hex}"
     )
     df.write.mode("errorifexists").parquet(path)
-    return spark.read.parquet(path)
+    # read back with the EXPLICIT schema: an empty stage writes no part
+    # files, where schema inference would fail outright (nullability is
+    # still widened — the parquet reader treats everything as nullable)
+    return spark.read.schema(df.schema).parquet(path)

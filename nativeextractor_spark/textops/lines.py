@@ -457,10 +457,14 @@ def drop_duplicate_lines(
         .where(F.col("_cnt") > 1)
         .drop("_cnt")
     )
+    # the explicit exempt disjunct is belt-and-braces under hash keys: an
+    # exempt line whose xxhash64 collides with a duplicated line's key
+    # would otherwise join a first-occurrence record and be dropped
     kept = (
         rows.join(firsts, key, "left")
         .where(
-            F.col("_first").isNull()
+            exempt
+            | F.col("_first").isNull()
             | (
                 (F.col("doc_id") == F.col("_first.doc_id"))
                 & (F.col("pos") == F.col("_first.pos"))

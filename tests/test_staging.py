@@ -103,6 +103,33 @@ def test_reliable_mode_sets_checkpoint_dir(spark, staged):
     assert ckdir is not None
 
 
+def test_parquet_mode_handles_empty_stage(spark, staged):
+    """An empty intermediate (e.g. canonicalize's edge list when nothing
+    is a near-duplicate) writes no parquet part files — the read-back must
+    use the explicit schema instead of inference, preserving both the
+    empty result and the exact column types."""
+    staging.configure(mode="parquet", staging_dir=str(staged))
+    df = spark.range(10).selectExpr(
+        "id as u", "cast(id as string) as s", "array(id, id) as arr"
+    ).where("u < 0")
+    out = staging.materialize(df, "empty")
+    assert out.count() == 0
+    # parquet read-back widens nullability at every level (Spark reader
+    # behavior); names and value types must match exactly
+    assert [(f.name, f.dataType.simpleString()) for f in out.schema.fields] == [
+        (f.name, f.dataType.simpleString()) for f in df.schema.fields
+    ]
+    # canonicalize end-to-end with NO near-duplicates under parquet mode
+    from nativeextractor_spark.kg.canonicalize import canonicalize_surfaces
+
+    surfaces = spark.createDataFrame(
+        [("alpha",), ("omega",), ("zebra",)], "surface string"
+    )
+    rows = canonicalize_surfaces(surfaces).collect()
+    assert len(rows) == 3
+    assert all(r.canonical_id == r.surface_id for r in rows)
+
+
 def test_env_var_mode_selection(spark, staged, monkeypatch):
     staging.configure(mode=None)
     monkeypatch.setenv("SPARK_GRAFT_STAGING", "parquet")
