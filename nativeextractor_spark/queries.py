@@ -1604,6 +1604,101 @@ FROM ls LEFT JOIN gw ON gw.doc_id = ls.doc_id
 """
 
 
+_DUP_SPAN_N = 3  # token n-gram length for the contract queries (the sf
+# documents are short random-word texts; 3-grams recur across them while
+# the Lee-et-al-style default of 8 stays for real corpora)
+
+
+def q_dup_span_stats(spark, sf_dir):
+    """ExactSubstr-style duplicate-span detection (Lee et al. 2022, r4):
+    corpus-wide duplicated token n-grams, keep-first eligibility, per-doc
+    interval merge — reported as per-doc span stats."""
+    from nativeextractor_spark.textops.spans import duplicate_span_stats
+
+    return duplicate_span_stats(
+        _docs(spark, sf_dir), n_tokens=_DUP_SPAN_N
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_chars",
+        "n_dup_spans",
+        "dup_span_chars",
+        "dup_span_frac",
+    )
+
+
+def q_dup_span_removal(spark, sf_dir):
+    """The removal variant: duplicate spans spliced out of the text
+    (all-but-first occurrence), idempotent."""
+    from nativeextractor_spark.textops.spans import remove_duplicate_spans
+
+    return remove_duplicate_spans(
+        _docs(spark, sf_dir), n_tokens=_DUP_SPAN_N
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "text",
+        "n_removed_chars",
+    )
+
+
+_DUP_SPAN_CORE_SQL = f"""
+dd AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+tk AS (SELECT doc_id, length(text) AS n_chars, text,
+              regexp_split_to_array(text, '[ \\n]') AS toks FROM dd),
+tk2 AS (SELECT *, list_transform(toks, t -> length(t)) AS tlens FROM tk),
+tk3 AS (SELECT *, list_transform(range(1, len(toks) + 1),
+                  i -> coalesce(list_sum(tlens[1:i-1]), 0) + (i - 1)) AS starts FROM tk2),
+g AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks) - {_DUP_SPAN_N} + 1, 0) + 1),
+          i -> struct_pack(gram := array_to_string(toks[i:i+{_DUP_SPAN_N}-1], ' '),
+                           s := starts[i],
+                           e := starts[i+{_DUP_SPAN_N}-1] + tlens[i+{_DUP_SPAN_N}-1]))) AS o
+      FROM tk3),
+go AS (SELECT doc_id, (o).gram AS gram, (o).s AS s, (o).e AS e FROM g),
+el AS (SELECT doc_id, s, e FROM
+         (SELECT *, row_number() OVER (PARTITION BY gram ORDER BY doc_id, s, e) AS rn,
+                 count(*) OVER (PARTITION BY gram) AS c FROM go)
+       WHERE rn >= 2),
+i1 AS (SELECT *, max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax FROM el),
+i2 AS (SELECT *, sum(CASE WHEN prevmax IS NULL OR s > prevmax THEN 1 ELSE 0 END)
+         OVER (PARTITION BY doc_id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS isl FROM i1),
+m AS (SELECT doc_id, isl, min(s) AS mn, max(e) AS mx FROM i2 GROUP BY doc_id, isl)
+"""
+
+
+O_DUP_SPAN_STATS = f"""
+WITH {_DUP_SPAN_CORE_SQL},
+agg AS (SELECT doc_id, count(*) AS n_dup_spans, sum(mx - mn) AS dup_span_chars
+        FROM m GROUP BY doc_id)
+SELECT t.doc_id, t.n_chars,
+       coalesce(a.n_dup_spans, 0)::BIGINT AS n_dup_spans,
+       coalesce(a.dup_span_chars, 0)::BIGINT AS dup_span_chars,
+       floor(coalesce(a.dup_span_chars, 0) * 1000000.0 / greatest(t.n_chars, 1)) / 1000000
+         AS dup_span_frac
+FROM tk t LEFT JOIN agg a ON a.doc_id = t.doc_id
+"""
+
+
+O_DUP_SPAN_REMOVAL = f"""
+WITH {_DUP_SPAN_CORE_SQL},
+segs AS (SELECT doc_id, coalesce(lag(mx) OVER (PARTITION BY doc_id ORDER BY mn), 0) AS p,
+                mn AS q FROM m),
+head AS (SELECT s.doc_id,
+           string_agg(substring(d2.text, (s.p + 1)::BIGINT, (s.q - s.p)::BIGINT), '' ORDER BY s.p) AS h
+         FROM segs s JOIN dd d2 USING (doc_id) GROUP BY s.doc_id),
+tl AS (SELECT doc_id, max(mx) AS last FROM m GROUP BY doc_id)
+SELECT d2.doc_id,
+       CASE WHEN tl.last IS NULL THEN d2.text
+            ELSE coalesce(head.h, '') || substring(d2.text, (tl.last + 1)::BIGINT) END AS text,
+       (length(d2.text)
+        - length(CASE WHEN tl.last IS NULL THEN d2.text
+                 ELSE coalesce(head.h, '') || substring(d2.text, (tl.last + 1)::BIGINT) END))
+         AS n_removed_chars
+FROM dd d2
+LEFT JOIN tl ON tl.doc_id = d2.doc_id
+LEFT JOIN head ON head.doc_id = d2.doc_id
+"""
+
+
 def q_line_dedup(spark, sf_dir):
     from nativeextractor_spark.textops.lines import drop_duplicate_lines
 
@@ -2031,6 +2126,8 @@ QUERIES = {
     "gopher_filters": q_gopher_filters,
     "gopher_repetition": q_gopher_repetition,
     "gopher_repetition_span": q_gopher_repetition_span,
+    "dup_span_stats": q_dup_span_stats,
+    "dup_span_removal": q_dup_span_removal,
     "line_dedup": q_line_dedup,
     "redact_pii": q_redact_pii,
     "tpch_q1": q_tpch_q1,
@@ -2074,6 +2171,8 @@ def build_oracles() -> dict[str, str]:
         "gopher_filters": O_GOPHER_FILTERS,
         "gopher_repetition": O_GOPHER_REPETITION,
         "gopher_repetition_span": O_GOPHER_REPETITION_SPAN,
+        "dup_span_stats": O_DUP_SPAN_STATS,
+        "dup_span_removal": O_DUP_SPAN_REMOVAL,
         "line_dedup": O_LINE_DEDUP,
         "redact_pii": _o_redact_pii(),
         "tpch_q1": O_TPCH_Q1,

@@ -537,6 +537,57 @@ def test_gopher_repetition_hash_vs_string_flavor(spark):
         gopher_repetition(df, gram_key="nope")
 
 
+def test_duplicate_spans_keep_first_and_idempotent(spark):
+    """ExactSubstr-style span dedup (r4): corpus-wide duplicated token
+    n-grams, merged intervals, all-but-first removal, idempotent."""
+    from nativeextractor_spark.textops.spans import (
+        duplicate_span_stats,
+        remove_duplicate_spans,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta unique one"),
+        (2, "prefix alpha beta gamma delta epsilon zeta suffix"),
+        (3, "totally different words here again now ok fine"),
+        (4, None),
+        (5, "alpha beta gamma delta epsilon zeta unique one"),  # dup of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    stats = {r.doc_id: r for r in duplicate_span_stats(df, n_tokens=4).collect()}
+    assert len(stats) == 5
+    assert stats[1].n_dup_spans == 0  # global first occurrences survive
+    assert stats[2].dup_span_chars == 35  # the shared 6-token run
+    assert stats[5].dup_span_frac == 1.0  # exact duplicate: fully covered
+    assert stats[3].n_dup_spans == 0 and stats[4].n_chars == 0
+
+    out = {r.doc_id: r for r in remove_duplicate_spans(df, n_tokens=4).collect()}
+    assert out[2].text == "prefix  suffix" and out[2].n_removed_chars == 35
+    assert out[5].text == "" and out[5].n_removed_chars == 46
+    assert out[1].text == rows[0][1]
+    # idempotent: nothing new removed on the cleaned corpus
+    cleaned = spark.createDataFrame(
+        [(r.doc_id, r.text) for r in out.values()], "doc_id long, text string"
+    )
+    assert all(
+        r.n_removed_chars == 0
+        for r in remove_duplicate_spans(cleaned, n_tokens=4).collect()
+    )
+    # keep="none" removes every occurrence including the first
+    none = {
+        r.doc_id: r
+        for r in remove_duplicate_spans(df, n_tokens=4, keep="none").collect()
+    }
+    assert none[1].n_removed_chars == 46 and none[5].n_removed_chars == 46
+    # gram keys agree
+    h = sorted(map(tuple, duplicate_span_stats(df, n_tokens=4).collect()))
+    s = sorted(
+        map(tuple, duplicate_span_stats(df, n_tokens=4, gram_key="string").collect())
+    )
+    assert h == s
+    with pytest.raises(ValueError):
+        duplicate_span_stats(df, keep="nope")
+
+
 def test_gopher_repetition_span_flavor(spark):
     """The r4 span-union flavor implements the published Gopher rule:
     dup{n}gram_char_frac is the fraction of characters covered by the
