@@ -15,6 +15,10 @@ Composes the curation operators in the standard web-corpus order
 2. **exact dedup** — keep the smallest-id document per sha256(text).
 3. **line dedup** — C4-style corpus-wide keep-first line removal
    (boilerplate); rewrites the surviving documents' text.
+3b. **span dedup** (opt-in, ``span_dedup=True``) — ExactSubstr-style
+   all-but-first duplicate-SPAN removal (Lee et al. 2022): duplicated
+   token n-gram runs are spliced out even when neither whole documents
+   nor whole lines repeat.
 4. **near dedup** — MinHash-LSH candidate pairs (token-hash shingles, the
    scale flavor) → connected components over the pair graph → keep the
    min-id document per near-duplicate cluster. Reuses the KG stage's
@@ -46,6 +50,8 @@ def curate_corpus(
     languages: list[str] | None = None,
     exact_dedup: bool = True,
     line_dedup: bool = True,
+    span_dedup: bool = False,
+    span_dedup_n_tokens: int = 8,
     near_dedup: bool = True,
     redact: bool = True,
     lsh_num_hashes: int = 8,
@@ -135,6 +141,25 @@ def curate_corpus(
             F.col("doc_id").alias("_id"), F.col("text").alias("_text")
         ).transform(stage("curate"))
         metrics["after_line_dedup"] = df.count()
+
+    if span_dedup:
+        # ExactSubstr-style all-but-first duplicate-span removal (Lee et
+        # al. 2022) — opt-in: strictly stronger than line dedup, one extra
+        # corpus-wide gram-count shuffle; documents are kept (possibly
+        # shortened), so the metric counts removed characters instead
+        from nativeextractor_spark.textops.spans import remove_duplicate_spans
+
+        df = remove_duplicate_spans(
+            df, text_col="_text", id_col="_id", n_tokens=span_dedup_n_tokens
+        ).select(
+            F.col("doc_id").alias("_id"),
+            F.col("text").alias("_text"),
+            "n_removed_chars",
+        ).transform(stage("curate"))
+        metrics["span_dedup_removed_chars"] = int(
+            df.agg(F.sum("n_removed_chars")).collect()[0][0] or 0
+        )
+        df = df.drop("n_removed_chars")
 
     if near_dedup:
         pairs = lsh_duplicate_pairs(

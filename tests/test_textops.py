@@ -810,6 +810,34 @@ def test_curate_corpus_end_to_end(spark):
     )
 
 
+def test_curate_corpus_span_dedup_stage(spark):
+    """The opt-in ExactSubstr stage splices repeated token runs out of
+    survivors and reports the removed-character metric."""
+    from nativeextractor_spark.textops.pipeline import curate_corpus
+
+    shared = " ".join(f"run{i}" for i in range(10))
+
+    def good(seed):
+        body = " ".join(f"word{seed}x{i}" for i in range(50))
+        return f"{shared} {body} the and that have done"
+
+    df = spark.createDataFrame(
+        [("a", good(1)), ("b", good(2))], "url string, text string"
+    )
+    out, m = curate_corpus(
+        df,
+        span_dedup=True,
+        span_dedup_n_tokens=5,
+        near_dedup=False,
+        redact=False,
+    )
+    got = {r.url: r.text for r in out.collect()}
+    assert set(got) == {"a", "b"}
+    assert m["span_dedup_removed_chars"] >= len(shared)
+    # the shared run survives in exactly one document
+    assert sum(shared in t for t in got.values()) == 1
+
+
 def test_curate_corpus_duplicate_ids_do_not_multiply(spark):
     """Review r3: duplicate input ids (recrawls) must not multiply rows
     through the keeper-id joins — the pipeline keeps one deterministic
