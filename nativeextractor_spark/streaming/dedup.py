@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from nativeextractor_spark.staging import stage
+
 
 def dedup_stream_exact(
     pages_stream: DataFrame,
@@ -52,3 +54,148 @@ def dedup_stream_exact(
     else:
         out = hashed.dropDuplicates([key])
     return out.drop(key)
+
+
+def dedup_stream_near(
+    pages_stream: DataFrame,
+    out_path: str,
+    state_path: str,
+    checkpoint_dir: str,
+    id_col: str = "url",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    k: int = 3,
+    min_shared_bands: int = 2,
+):
+    """Streaming NEAR-duplicate suppression across micro-batches (r4).
+
+    A document arriving in micro-batch N is suppressed when its MinHash
+    band signature shares >= ``min_shared_bands`` bands with one canonical
+    document — either a survivor of an earlier batch (cross-batch, via the
+    durable band-state table at ``state_path``) or a smaller-id member of
+    its own batch (within-batch, MinHash-LSH pairs + connected components
+    keep-min, the same rule as the batch ``curate_corpus`` stage).
+
+    Restart safety: the sink is a ``foreachBatch`` whose two writes are
+    both idempotent ``merge_into`` upserts (survivors keyed on the doc id,
+    band state keyed on (doc_id, band)); the band state carries the
+    writing ``batch_id`` and each batch only matches against state rows
+    with ``batch_id < N`` — a replay of batch N can never match the
+    partial state it wrote before failing.
+
+    State sizing at scale: ``num_hashes`` rows per SURVIVOR, forever —
+    suppressed documents contribute nothing, and matching is always
+    against canonical representatives only (near-duplication is not
+    chained transitively across suppressed docs, the standard streaming
+    trade). Compact or TTL the state table out of band for unbounded
+    corpora. Returns a DataStreamWriter (availableNow trigger) — call
+    ``.start()``.
+    """
+    if not pages_stream.isStreaming:
+        raise ValueError(
+            "dedup_stream_near expects a streaming DataFrame (readStream)"
+        )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from nativeextractor_spark.kg.components import connected_components
+        from nativeextractor_spark.kg.graph import merge_into
+        from nativeextractor_spark.textops.dedup import (
+            lsh_duplicate_pairs,
+            minhash_bands,
+        )
+
+        spark = batch_df.sparkSession
+        docs = (
+            batch_df.select(
+                F.col(id_col).cast("string").alias("_id"),
+                F.col(text_col).alias("_text"),
+            )
+            .groupBy("_id")
+            .agg(F.min("_text").alias("_text"))
+            .transform(stage("sdedup"))
+        )
+        if docs.isEmpty():
+            return
+        bands = minhash_bands(
+            docs,
+            text_col="_text",
+            id_col="_id",
+            num_hashes=num_hashes,
+            k=k,
+            hash_flavor="xx64",
+            shingle="word_hash",
+        ).transform(stage("sdedup"))
+
+        drops = None
+        # cross-batch: match against canonical survivors of EARLIER batches
+        try:
+            prior = spark.read.parquet(state_path).where(
+                F.col("batch_id") < F.lit(batch_id)
+            )
+        except Exception:
+            prior = None
+        if prior is not None:
+            drops = (
+                bands.join(
+                    prior.select(
+                        F.col("doc_id").alias("_pid"), "band", "min_hash"
+                    ),
+                    ["band", "min_hash"],
+                )
+                .groupBy("doc_id", "_pid")
+                .agg(F.countDistinct("band").alias("_nb"))
+                .where(F.col("_nb") >= min_shared_bands)
+                .select(F.col("doc_id").alias("_id"))
+                .distinct()
+            )
+        # within-batch: LSH pairs -> connected components -> keep min id
+        pairs = lsh_duplicate_pairs(
+            docs,
+            text_col="_text",
+            id_col="_id",
+            num_hashes=num_hashes,
+            k=k,
+            min_shared_bands=min_shared_bands,
+            hash_flavor="xx64",
+            shingle="word_hash",
+        )
+        edges = pairs.select(
+            F.xxhash64("doc_a").alias("u"), F.xxhash64("doc_b").alias("v")
+        ).transform(stage("sdedup"))
+        if not edges.isEmpty():
+            comps = connected_components(edges)
+            hashed = docs.select("_id", F.xxhash64("_id").alias("_h"))
+            clustered = hashed.join(comps, hashed["_h"] == comps["node"]).select(
+                "_id", "component"
+            )
+            keep_ids = clustered.groupBy("component").agg(
+                F.min("_id").alias("_id")
+            ).select("_id")
+            batch_drop = clustered.select("_id").join(
+                keep_ids, "_id", "left_anti"
+            )
+            drops = (
+                batch_drop
+                if drops is None
+                else drops.unionByName(batch_drop).distinct()
+            )
+        survivors = (
+            docs if drops is None else docs.join(drops, "_id", "left_anti")
+        ).transform(stage("sdedup"))
+        merge_into(
+            survivors.select(
+                F.col("_id").alias(id_col), F.col("_text").alias(text_col)
+            ),
+            out_path,
+            keys=[id_col],
+        )
+        surviving_bands = bands.join(
+            survivors.select(F.col("_id").alias("doc_id")), "doc_id"
+        ).withColumn("batch_id", F.lit(batch_id))
+        merge_into(surviving_bands, state_path, keys=["doc_id", "band"])
+
+    return (
+        pages_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )

@@ -211,3 +211,59 @@ def test_streaming_dedup_null_vs_empty_text(spark, tmp_path_factory):
     texts = sorted((r.text if r.text is not None else "<NULL>") for r in rows)
     # one empty-string survivor AND one NULL survivor
     assert texts == ["", "<NULL>"]
+
+
+def test_streaming_near_dedup_cross_batch(spark, tmp_path_factory):
+    """r4 dedup_stream_near: a near-duplicate arriving in a LATER
+    micro-batch is suppressed by the durable band state; distinct docs and
+    within-batch near-dup clusters follow the keep-min rule; restart with
+    the same checkpoint reprocesses nothing."""
+    from nativeextractor_spark.streaming.dedup import dedup_stream_near
+
+    src = str(tmp_path_factory.mktemp("near_src"))
+    out = str(tmp_path_factory.mktemp("near_out")) + "/docs"
+    state = str(tmp_path_factory.mktemp("near_state")) + "/bands"
+    ck = str(tmp_path_factory.mktemp("near_ck"))
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+
+    def run_once():
+        stream = spark.readStream.schema("url string, text string").option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src)
+        q = dedup_stream_near(stream, out, state, ck).start()
+        q.awaitTermination(180)
+
+    # batch 1: A, its in-batch near-dup A2 (larger id -> dropped), B distinct
+    spark.createDataFrame(
+        [
+            ("docA", base),
+            ("docA2", base + " extra"),
+            ("docB", "completely different words about spark shuffles and joins here"),
+        ],
+        "url string, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    assert {r.url for r in spark.read.parquet(out).collect()} == {"docA", "docB"}
+
+    # batch 2 (new file, same checkpoint): near-dup of A suppressed
+    # cross-batch; C distinct survives
+    spark.createDataFrame(
+        [
+            ("docA3", base + " slightly"),
+            ("docC", "yet another unrelated page mentioning parquet files and arrow batches"),
+        ],
+        "url string, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    urls = {r.url for r in spark.read.parquet(out).collect()}
+    assert urls == {"docA", "docB", "docC"}, urls
+
+    # restart with no new input: output unchanged (checkpoint lineage)
+    run_once()
+    assert spark.read.parquet(out).count() == 3
+    # state holds bands for survivors only
+    st = spark.read.parquet(state)
+    assert set(r.doc_id for r in st.select("doc_id").distinct().collect()) == {
+        "docA", "docB", "docC"
+    }
