@@ -132,8 +132,9 @@ def _warm_workers(spark, cpus: int) -> None:
     a.join(b, "k").where(F.col("v") == F.col("m")).count()
 
 
-def _headline(spark, sf: float) -> dict[str, float]:
-    """The headline suite; returns per-query seconds."""
+def _headline(spark, sf: float) -> tuple[dict[str, float], dict[str, float]]:
+    """The headline suite; returns (steady-state seconds, cold first-run
+    seconds) per query."""
     from pyspark.sql import functions as F
 
     from nativeextractor_spark.kg.canonicalize import canonicalize_surfaces

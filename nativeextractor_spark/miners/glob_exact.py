@@ -334,9 +334,11 @@ def _candidate_re(glob: str):
     return compile_cached(f"(?:\\A|(?<=[{d}])){accept}")
 
 
+@_lru_cache(maxsize=1024)
 def fast_star_class(glob: str):
     """(A, B) when ``glob`` = A + ``*`` + B is in the vectorizable
-    single-star class, else None.
+    single-star class, else None. Cached: the scan dispatch probes it
+    per document (r4 review).
 
     Class requirements (each keeps one machine behavior closed-form):
     - exactly one top-level ``*``, neither first nor last element
@@ -499,9 +501,11 @@ def fast_star_scan(text: str, glob: str) -> list[tuple[int, int]]:
     return out
 
 
+@_lru_cache(maxsize=1024)
 def star_first_class(glob: str):
     """The rest B when ``glob`` = ``*`` + B is in the vectorizable
-    star-first class (r4, VERDICT r3 item 6), else None.
+    star-first class (r4, VERDICT r3 item 6), else None. Cached: the
+    scan dispatch probes it per document (r4 review).
 
     Class: exactly one top-level ``*`` as the FIRST element (no escapes —
     split_single_star already rejects them), B star-free in the proven

@@ -1654,8 +1654,7 @@ g AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks) - {_DUP_S
       FROM tk3),
 go AS (SELECT doc_id, (o).gram AS gram, (o).s AS s, (o).e AS e FROM g),
 el AS (SELECT doc_id, s, e FROM
-         (SELECT *, row_number() OVER (PARTITION BY gram ORDER BY doc_id, s, e) AS rn,
-                 count(*) OVER (PARTITION BY gram) AS c FROM go)
+         (SELECT *, row_number() OVER (PARTITION BY gram ORDER BY doc_id, s, e) AS rn FROM go)
        WHERE rn >= 2),
 i1 AS (SELECT *, max(e) OVER (PARTITION BY doc_id ORDER BY s, e
          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax FROM el),

@@ -127,12 +127,22 @@ def dedup_stream_near(
         ).transform(stage("sdedup"))
 
         drops = None
-        # cross-batch: match against canonical survivors of EARLIER batches
+        # cross-batch: match against canonical survivors of EARLIER
+        # batches. ONLY a missing state table (the very first batch) maps
+        # to prior=None — any other read error must propagate and fail the
+        # batch (r4 review: a swallowed transient error would silently run
+        # with cross-batch matching OFF, admitting near-duplicates into
+        # the canonical set forever)
+        from pyspark.errors import AnalysisException
+
         try:
             prior = spark.read.parquet(state_path).where(
                 F.col("batch_id") < F.lit(batch_id)
             )
-        except Exception:
+        except AnalysisException as e:
+            msg = str(e)
+            if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+                raise
             prior = None
         if prior is not None:
             drops = (

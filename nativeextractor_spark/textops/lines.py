@@ -15,7 +15,9 @@ Two classic pre-training cleanup stages, both entirely JVM-side:
 Scale shape: the n-gram stats explode the n VALUES first (9 rows/doc),
 then each row's own gram list — bounding per-row memory to one gram
 array; line stats and line dedup explode once. Every aggregation is hash
-partial-agg; no Python, no windows in either path.
+partial-agg; no Python anywhere. The default paths use no window
+functions either; the opt-in span-union dup flavor (r4) adds exactly one
+per-doc running-sum window for token offsets.
 """
 
 from __future__ import annotations
@@ -267,52 +269,26 @@ def _per_n_span(base: DataFrame, ns: list[int], gram_key: str) -> DataFrame:
     character intervals of all duplicated-n-gram occurrences.
 
     Plan: token start offsets via ONE running-sum window over the
-    posexploded token-length array (collected back to a per-doc array);
-    each gram occurrence then carries its interval [s, e) as a pure
-    projection (e - s doubles as the gram's char length); duplicated
-    occurrences (count > 1 on the gram key) are interval-merged per
-    (doc, n) by a sort+fold inside a single aggregate — no second window,
-    no per-doc Python. The top-gram pick reuses the count flavor's
-    (count, len, key) tie-break, so top fractions are identical across
-    flavors."""
-    from pyspark.sql import Window
+    posexploded token-length array (``spans.token_starts`` — shared with
+    the ExactSubstr operators); each gram occurrence then carries its
+    interval [s, e) as a pure projection (e - s doubles as the gram's
+    char length); duplicated occurrences (count > 1 on the gram key) are
+    interval-merged per (doc, n) by a sort+fold inside a single aggregate
+    — no second window, no per-doc Python. The merge runs ONLY for the
+    dup-rule ns (5..10): the far more numerous 2-4-gram intervals feed
+    nothing (their fraction uses the top-gram count). The top-gram pick
+    reuses the count flavor's (count, len, key) tie-break, so top
+    fractions are identical across flavors. Precondition: unique doc_id
+    (curate_corpus collapses upfront; duplicate ids would interleave the
+    offset arrays)."""
+    from nativeextractor_spark.textops.spans import (
+        gram_interval_expr,
+        token_starts,
+    )
 
-    tok = base.select("doc_id", F.posexplode("_tlens").alias("i0", "tl"))
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("i0")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    # token i0 (0-based) starts after all previous token chars plus i0
-    # single-char separators (split on a single-char class)
-    starts = (
-        tok.withColumn("s", F.coalesce(F.sum("tl").over(w), F.lit(0)) + F.col("i0"))
-        .groupBy("doc_id")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("i0", "s")))
-            .getField("s")
-            .alias("_starts")
-        )
-    )
-    key = (
-        "xxhash64(slice(_toks, i, n))"
-        if gram_key == "hash"
-        else "array_join(slice(_toks, i, n), ' ')"
-    )
-    occ_expr = (
-        "slice(transform(sequence(1, greatest(size(_toks) - (n - 1), 1)),"
-        f" i -> struct({key} AS gk,"
-        "             element_at(_starts, i) AS s,"
-        # the sequence pads to >=1 entry even when the doc has no n-grams;
-        # the pad is trimmed by the outer slice, but it is EVALUATED first
-        # — clamp the end-token index so element_at stays in bounds (the
-        # clamped value never survives the slice)
-        "             element_at(_starts, least(i + n - 1, size(_starts)))"
-        "               + element_at(_tlens, least(i + n - 1, size(_tlens))) AS e)),"
-        " 1, greatest(size(_toks) - (n - 1), 0))"
-    )
+    occ_expr = gram_interval_expr(gram_key)
     occ = (
-        base.join(starts, "doc_id")
+        base.join(token_starts(base), "doc_id")
         .select(
             "doc_id",
             "n_chars",
@@ -347,8 +323,14 @@ def _per_n_span(base: DataFrame, ns: list[int], gram_key: str) -> DataFrame:
         "n",
         (F.col("_top.c") * F.col("_top.glen")).alias("top_chars"),
     )
-    dup_occ = occ.join(
-        counts.where(F.col("c") > 1).select("doc_id", "n", "gk"),
+    # only the dup-rule ns (5..10) need the interval merge; the 2-4-gram
+    # fraction uses top_chars alone, and 2-grams dominate the occurrence
+    # volume — filtering BOTH join sides drops the dominant wasted work
+    dup_ns = [n for n in ns if n in _DUP_NGRAM_MAX]
+    dup_occ = occ.where(F.col("n").isin(dup_ns)).join(
+        counts.where(F.col("c") > 1)
+        .where(F.col("n").isin(dup_ns))
+        .select("doc_id", "n", "gk"),
         ["doc_id", "n", "gk"],
     )
     # interval union: sort by (s, e), fold left — covered grows by the

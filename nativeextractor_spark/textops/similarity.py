@@ -207,9 +207,11 @@ def _seq_sq_norm(vals) -> float:
 def lloyd_kmeans(X, n_centroids: int, n_iters: int = 5, seed: int = 42):
     """Spherical k-means (cosine) on an in-memory sample — deterministic:
     seeded init, float64, fixed iteration count. Returns the centroid
-    matrix as a list of lists (the coarse IVF codebook). Shared by the
-    Spark path and the DuckDB oracle builder so both sides inline identical
-    centroid literals."""
+    matrix as a list of lists (the coarse IVF codebook). The Spark path's
+    trainer; the DuckDB oracle deliberately retrains with the INDEPENDENT
+    ``queries._oracle_lloyd_kmeans`` reimplementation of the same spec
+    (bit-agreement pinned in tests), so a bug here cannot pass both sides
+    of the gate."""
     X = np.asarray(X, dtype=np.float64)
     norms = np.linalg.norm(X, axis=1, keepdims=True)
     Xn = X / np.maximum(norms, 1e-12)

@@ -36,25 +36,33 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _with_token_arrays(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(doc_id, n_chars, text, _toks, _tlens, _starts): token arrays plus
-    per-token character start offsets (split on the single-char class
-    ``[ \\n]``, so token i starts after all previous token chars plus i
-    separators)."""
-    text = F.coalesce(F.col(text_col), F.lit(""))
-    base = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.length(text).alias("n_chars"),
-        text.alias("text"),
-        F.split(text, "[ \n]").alias("_toks"),
-    ).withColumn("_tlens", F.expr("transform(_toks, t -> length(t))"))
+def collapse_ids(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One row per id: duplicate ids (recrawls) collapse to their min
+    text — the deterministic rule curate_corpus uses. Without this, the
+    per-doc token-offset arrays below would interleave BOTH copies'
+    tokens (corrupted intervals) and the doc-keyed joins would multiply
+    rows (r4 review)."""
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .groupBy(id_col)
+        .agg(F.min(text_col).alias(text_col))
+    )
+
+
+def token_starts(base: DataFrame) -> DataFrame:
+    """(doc_id, _starts) from a df carrying (doc_id, _tlens): per-token
+    character start offsets via ONE per-doc running-sum window — token i0
+    (0-based) starts after all previous token chars plus i0 single-char
+    separators. Requires UNIQUE doc_id (see :func:`collapse_ids`).
+    Shared by the span operators here and the span-union Gopher flavor
+    (textops.lines)."""
     tok = base.select("doc_id", F.posexplode("_tlens").alias("i0", "tl"))
     w = (
         Window.partitionBy("doc_id")
         .orderBy("i0")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    starts = (
+    return (
         tok.withColumn(
             "s", F.coalesce(F.sum("tl").over(w), F.lit(0)) + F.col("i0")
         )
@@ -65,7 +73,42 @@ def _with_token_arrays(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             .alias("_starts")
         )
     )
-    return base.join(starts, "doc_id")
+
+
+def gram_interval_expr(gram_key: str) -> str:
+    """SQL array expression producing this row's n-gram occurrence
+    structs (gk, s, e) from columns (_toks, _tlens, _starts, n). The
+    sequence pads to >=1 entry even when the doc has no n-grams; the pad
+    is trimmed by the outer slice but EVALUATED first — the end-token
+    index is clamped so element_at stays in bounds (the clamped value
+    never survives the slice). Shared with textops.lines."""
+    key = (
+        "xxhash64(slice(_toks, i, n))"
+        if gram_key == "hash"
+        else "array_join(slice(_toks, i, n), ' ')"
+    )
+    return (
+        "slice(transform(sequence(1, greatest(size(_toks) - (n - 1), 1)),"
+        f" i -> struct({key} AS gk,"
+        "             element_at(_starts, i) AS s,"
+        "             element_at(_starts, least(i + n - 1, size(_starts)))"
+        "               + element_at(_tlens, least(i + n - 1, size(_tlens))) AS e)),"
+        " 1, greatest(size(_toks) - (n - 1), 0))"
+    )
+
+
+def _with_token_arrays(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, n_chars, text, _toks, _tlens, _starts): token arrays plus
+    per-token character start offsets (split on the single-char class
+    ``[ \\n]``). ``df`` must have unique ids (callers collapse first)."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(text).alias("n_chars"),
+        text.alias("text"),
+        F.split(text, "[ \n]").alias("_toks"),
+    ).withColumn("_tlens", F.expr("transform(_toks, t -> length(t))"))
+    return base.join(token_starts(base), "doc_id")
 
 
 def _gram_occurrences(
@@ -73,24 +116,12 @@ def _gram_occurrences(
 ) -> DataFrame:
     """(doc_id, gk, s, e): one row per n-gram occurrence with its
     character interval."""
-    key = (
-        "xxhash64(slice(_toks, i, n))"
-        if gram_key == "hash"
-        else "array_join(slice(_toks, i, n), ' ')"
-    )
-    occ_expr = (
-        "slice(transform(sequence(1, greatest(size(_toks) - (n - 1), 1)),"
-        f" i -> struct({key} AS gk,"
-        "             element_at(_starts, i) AS s,"
-        # the >=1 pad entry is trimmed by the outer slice but evaluated
-        # first — clamp the end-token index to stay in bounds
-        "             element_at(_starts, least(i + n - 1, size(_starts)))"
-        "               + element_at(_tlens, least(i + n - 1, size(_tlens))) AS e)),"
-        " 1, greatest(size(_toks) - (n - 1), 0))"
-    )
     return (
         base.withColumn("n", F.lit(n_tokens))
-        .select("doc_id", F.explode(F.expr(occ_expr)).alias("_g"))
+        .select(
+            "doc_id",
+            F.explode(F.expr(gram_interval_expr(gram_key))).alias("_g"),
+        )
         .select(
             "doc_id",
             F.col("_g.gk").alias("gk"),
@@ -107,15 +138,20 @@ def duplicate_spans(
     n_tokens: int = 8,
     keep: str = "first",
     gram_key: str = "hash",
+    assume_unique: bool = False,
 ) -> DataFrame:
     """Per-document maximal duplicate spans: (doc_id, span_s, span_e),
     one row per merged span of removal-eligible duplicated-gram
     occurrences (see module docstring). Documents with no duplicate spans
-    emit no rows."""
+    emit no rows. Duplicate input ids are collapsed upfront
+    (:func:`collapse_ids`); pass ``assume_unique=True`` to skip that
+    shuffle when the caller guarantees uniqueness."""
     if keep not in ("first", "none"):
         raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
     if gram_key not in ("hash", "string"):
         raise ValueError(f"gram_key must be 'hash' or 'string', got {gram_key!r}")
+    if not assume_unique:
+        df = collapse_ids(df, text_col, id_col)
     base = _with_token_arrays(df, text_col, id_col)
     occ = _gram_occurrences(base, n_tokens, gram_key)
     dup = (
@@ -166,11 +202,17 @@ def duplicate_span_stats(
     n_tokens: int = 8,
     keep: str = "first",
     gram_key: str = "hash",
+    assume_unique: bool = False,
 ) -> DataFrame:
     """(doc_id, n_chars, n_dup_spans, dup_span_chars, dup_span_frac) for
     EVERY input document (zero rows for clean docs). The fraction is
-    truncated to 6 decimals with the num*1e6/den association."""
-    spans = duplicate_spans(df, text_col, id_col, n_tokens, keep, gram_key)
+    truncated to 6 decimals with the num*1e6/den association. Duplicate
+    input ids are collapsed upfront (see :func:`collapse_ids`)."""
+    if not assume_unique:
+        df = collapse_ids(df, text_col, id_col)
+    spans = duplicate_spans(
+        df, text_col, id_col, n_tokens, keep, gram_key, assume_unique=True
+    )
     per_doc = spans.groupBy("doc_id").agg(
         F.count("*").alias("n_dup_spans"),
         F.sum(F.col("span_e") - F.col("span_s")).alias("dup_span_chars"),
@@ -204,13 +246,19 @@ def remove_duplicate_spans(
     n_tokens: int = 8,
     keep: str = "first",
     gram_key: str = "hash",
+    assume_unique: bool = False,
 ) -> DataFrame:
     """(doc_id, text, n_removed_chars): documents with their duplicate
     spans spliced out (all-but-first-occurrence, Lee et al. style). The
     splice is a pure-SQL fold over the per-doc sorted merged spans —
     kept text is the concatenation of the complement segments. Idempotent
-    under keep="first"."""
-    spans = duplicate_spans(df, text_col, id_col, n_tokens, keep, gram_key)
+    under keep="first". Duplicate input ids are collapsed upfront (see
+    :func:`collapse_ids`)."""
+    if not assume_unique:
+        df = collapse_ids(df, text_col, id_col)
+    spans = duplicate_spans(
+        df, text_col, id_col, n_tokens, keep, gram_key, assume_unique=True
+    )
     agg = spans.groupBy("doc_id").agg(
         F.array_sort(F.collect_list(F.struct("span_s", "span_e"))).alias(
             "_spans"

@@ -588,6 +588,29 @@ def test_duplicate_spans_keep_first_and_idempotent(spark):
         duplicate_span_stats(df, keep="nope")
 
 
+def test_duplicate_spans_duplicate_ids_collapse(spark):
+    """r4 review: duplicate input ids (recrawls) must not interleave the
+    token-offset arrays or multiply output rows — they collapse to the
+    min text upfront, mirroring curate_corpus."""
+    from nativeextractor_spark.textops.spans import (
+        duplicate_span_stats,
+        remove_duplicate_spans,
+    )
+
+    t = "alpha beta gamma delta epsilon zeta"
+    df = spark.createDataFrame(
+        [(1, t), (1, t + " recrawl tail"), (2, t)],  # id 1 recrawled
+        "doc_id long, text string",
+    )
+    stats = duplicate_span_stats(df, n_tokens=4).collect()
+    assert len(stats) == 2  # one row per id, not per input row
+    by = {r.doc_id: r for r in stats}
+    assert by[1].n_dup_spans == 0  # min-text copy of id 1 is the keeper
+    assert by[2].dup_span_frac == 1.0
+    out = {r.doc_id: r for r in remove_duplicate_spans(df, n_tokens=4).collect()}
+    assert len(out) == 2 and out[1].text == t and out[2].text == ""
+
+
 def test_gopher_repetition_span_flavor(spark):
     """The r4 span-union flavor implements the published Gopher rule:
     dup{n}gram_char_frac is the fraction of characters covered by the
