@@ -247,7 +247,26 @@ def _headline(spark, sf: float) -> tuple[dict[str, float], dict[str, float]]:
         ).alias("text"),
     ).localCheckpoint(eager=True)
     timed("gopher_repetition", lambda: gopher_repetition(lines_df).count())
+    # the faithful span-union flavor (r4): one token-offset window + fold
+    # interval merge, dup merge filtered to n>=5 — measured at parity
+    # with the count flavor
+    timed(
+        "gopher_repetition_span",
+        lambda: gopher_repetition(lines_df, dup_flavor="span").count(),
+    )
     timed("line_dedup", lambda: drop_duplicate_lines(lines_df).count())
+    # ExactSubstr-style duplicate-span stats (r4): corpus-wide 8-token
+    # gram counts on 8-byte keys, dup-only join build side
+    from nativeextractor_spark.textops.spans import duplicate_span_stats
+
+    timed(
+        "dup_span_stats",
+        lambda: duplicate_span_stats(
+            pages.select(F.col("url").alias("doc_id"), "text"),
+            n_tokens=8,
+            assume_unique=True,
+        ).count(),
+    )
     timed("tpch_q1", lambda: QUERIES["tpch_q1"](spark, SF_DIR).count())
     timed("ann_topk", lambda: QUERIES["ann_topk"](spark, SF_DIR).count())
     # regex parity engine over the corpus: the vectorized DFA executor
