@@ -32,7 +32,11 @@ Mode selection: ``configure(mode=...)`` programmatically, or the
 flip it without touching library code). All three modes are
 output-equivalent by construction (they only pin WHERE the computed rows
 live); ``tests/test_staging.py`` verifies hash-equal results for
-curate_corpus and canonicalize_surfaces under every mode.
+curate_corpus and canonicalize_surfaces under every mode. Measured cost
+(canonicalize over the sf0.1 KG surfaces, warm): local 3.80 s /
+reliable 3.61 s / parquet 3.81 s — the staged intermediates are
+distinct-surface tables, orders of magnitude smaller than the corpus, so
+durability is effectively free (BENCH/BASELINE.md).
 """
 
 from __future__ import annotations
