@@ -252,7 +252,9 @@ def _headline(spark, sf: float) -> tuple[dict[str, float], dict[str, float]]:
     # with the count flavor
     timed(
         "gopher_repetition_span",
-        lambda: gopher_repetition(lines_df, dup_flavor="span").count(),
+        lambda: gopher_repetition(
+            lines_df, dup_flavor="span", assume_unique=True
+        ).count(),
     )
     timed("line_dedup", lambda: drop_duplicate_lines(lines_df).count())
     # ExactSubstr-style duplicate-span stats (r4): corpus-wide 8-token

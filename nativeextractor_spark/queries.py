@@ -1538,7 +1538,9 @@ def q_gopher_repetition_span(spark, sf_dir):
     upper bound — interval merging runs as a sort+fold aggregate."""
     from nativeextractor_spark.textops.lines import gopher_repetition
 
-    return gopher_repetition(_docs_with_lines(spark, sf_dir), dup_flavor="span")
+    return gopher_repetition(
+        _docs_with_lines(spark, sf_dir), dup_flavor="span", assume_unique=True
+    )
 
 
 O_GOPHER_REPETITION_SPAN = f"""
@@ -1616,7 +1618,7 @@ def q_dup_span_stats(spark, sf_dir):
     from nativeextractor_spark.textops.spans import duplicate_span_stats
 
     return duplicate_span_stats(
-        _docs(spark, sf_dir), n_tokens=_DUP_SPAN_N
+        _docs(spark, sf_dir), n_tokens=_DUP_SPAN_N, assume_unique=True
     ).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         "n_chars",
@@ -1632,7 +1634,7 @@ def q_dup_span_removal(spark, sf_dir):
     from nativeextractor_spark.textops.spans import remove_duplicate_spans
 
     return remove_duplicate_spans(
-        _docs(spark, sf_dir), n_tokens=_DUP_SPAN_N
+        _docs(spark, sf_dir), n_tokens=_DUP_SPAN_N, assume_unique=True
     ).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         "text",

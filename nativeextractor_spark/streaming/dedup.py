@@ -141,7 +141,18 @@ def dedup_stream_near(
             )
         except AnalysisException as e:
             msg = str(e)
-            if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+            # recoverable no-prior-state shapes: the path does not exist
+            # (first batch ever) or it exists with no readable data files
+            # (batch 0 crashed mid-write, leaving only _temporary — the
+            # reader then raises UNABLE_TO_INFER_SCHEMA; r4 review 2:
+            # re-raising that would wedge the stream forever, since the
+            # read always precedes the state write)
+            recoverable = (
+                "PATH_NOT_FOUND" in msg
+                or "Path does not exist" in msg
+                or "UNABLE_TO_INFER_SCHEMA" in msg
+            )
+            if not recoverable:
                 raise
             prior = None
         if prior is not None:

@@ -43,6 +43,7 @@ def gopher_repetition(
     id_col: str = "doc_id",
     gram_key: str = "hash",
     dup_flavor: str = "count",
+    assume_unique: bool = False,
 ) -> DataFrame:
     """Per-document Gopher repetition metrics + pass flags.
 
@@ -76,7 +77,12 @@ def gopher_repetition(
         (``aggregate(array_sort(collect_list(...)))``) — no second
         window, no per-doc Python. Costs one extra shuffle (token
         offsets) over the count flavor; pass rates ARE comparable to
-        published Gopher numbers.
+        published Gopher numbers. Duplicate input ids are collapsed to
+        the min text upfront (the offset arrays require unique ids);
+        ``assume_unique=True`` skips that shuffle when the caller
+        guarantees uniqueness (curate_corpus does). The count flavor
+        ignores ``assume_unique`` and keeps its merge-the-copies
+        semantics for duplicate ids.
 
     All fractions are truncated to 6 decimals with the num*1e6/den
     association. Lines explode once; grams explode the n values first,
@@ -111,6 +117,15 @@ def gopher_repetition(
         raise ValueError(f"gram_key must be 'hash' or 'string', got {gram_key!r}")
     if dup_flavor not in ("count", "span"):
         raise ValueError(f"dup_flavor must be 'count' or 'span', got {dup_flavor!r}")
+    if dup_flavor == "span" and not assume_unique:
+        # the span flavor's per-doc token-offset arrays would interleave
+        # duplicate-id copies (r4 review 3) — collapse like the span
+        # operators do; pass assume_unique=True (curate_corpus does) to
+        # skip the shuffle. The count flavor is offset-free and keeps its
+        # documented merge-the-copies semantics.
+        from nativeextractor_spark.textops.spans import collapse_ids
+
+        df = collapse_ids(df, text_col, id_col)
     # NULL text is treated as empty (split(NULL) would otherwise emit
     # zero rows and the document would vanish from the output)
     text = F.coalesce(F.col(text_col), F.lit(""))

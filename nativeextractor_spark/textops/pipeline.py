@@ -110,7 +110,11 @@ def curate_corpus(
             # numbers); "count" (default) is the cheaper upper bound — see
             # the module docstring note
             r = gopher_repetition(
-                df, text_col="_text", id_col="_id", dup_flavor=repetition_flavor
+                df,
+                text_col="_text",
+                id_col="_id",
+                dup_flavor=repetition_flavor,
+                assume_unique=True,  # ids collapsed at pipeline entry
             )
             rk = r.where("repetition_pass").select(F.col("doc_id").alias("_id"))
             keep = rk if keep is None else keep.join(rk, "_id")
@@ -150,7 +154,13 @@ def curate_corpus(
         from nativeextractor_spark.textops.spans import remove_duplicate_spans
 
         df = remove_duplicate_spans(
-            df, text_col="_text", id_col="_id", n_tokens=span_dedup_n_tokens
+            df,
+            text_col="_text",
+            id_col="_id",
+            n_tokens=span_dedup_n_tokens,
+            # ids were collapsed at pipeline entry — skip the defensive
+            # full-corpus collapse shuffle (r4 review 2)
+            assume_unique=True,
         ).select(
             F.col("doc_id").alias("_id"),
             F.col("text").alias("_text"),

@@ -649,6 +649,23 @@ def test_gopher_repetition_span_flavor(spark):
     assert s2 == sorted(map(tuple, gopher_repetition(df, dup_flavor="span").collect()))
     with pytest.raises(ValueError):
         gopher_repetition(df, dup_flavor="nope")
+    # r4 review 3: duplicate ids collapse (min text) under the span
+    # flavor instead of interleaving the offset arrays
+    dup = spark.createDataFrame(
+        [(1, "a b a b a b"), (1, "z z z recrawl"), (2, "x y")],
+        "doc_id long, text string",
+    )
+    rows = gopher_repetition(dup, dup_flavor="span").collect()
+    assert len(rows) == 2
+    one = {r.doc_id: r for r in rows}[1]
+    ref = {
+        r.doc_id: r
+        for r in gopher_repetition(
+            spark.createDataFrame([(1, "a b a b a b")], "doc_id long, text string"),
+            dup_flavor="span",
+        ).collect()
+    }[1]
+    assert tuple(one) == tuple(ref)
 
 
 def test_drop_duplicate_lines_hash_vs_string_flavor(spark):
