@@ -104,6 +104,25 @@ def materialize(df: DataFrame, name: str = "stage") -> DataFrame:
         except Exception:
             has_dir = False
         if not has_dir:
+            # the fallback dir may be a driver-LOCAL temp path; on a real
+            # cluster that is neither shared nor replicated, so checkpoints
+            # there are no more durable than localCheckpoint — the exact
+            # failure mode this mode exists to avoid. Refuse on a cluster
+            # master unless the operator pointed us at real shared storage.
+            configured = _config["dir"] or os.environ.get(
+                "SPARK_GRAFT_CHECKPOINT_DIR"
+            )
+            master = sc.master or ""
+            if not configured and not master.startswith("local"):
+                raise RuntimeError(
+                    "staging mode 'reliable' on a cluster master "
+                    f"({master!r}) needs a shared checkpoint dir: call "
+                    "SparkContext.setCheckpointDir(...), or set "
+                    "SPARK_GRAFT_CHECKPOINT_DIR / staging.configure("
+                    "staging_dir=...) to HDFS/object storage. Refusing the "
+                    "driver-local temp fallback — it would not survive "
+                    "executor loss."
+                )
             sc.setCheckpointDir(os.path.join(_staging_dir(), "reliable"))
         return df.checkpoint(eager=True)
     # parquet staging: unique path per stage; a production deployment

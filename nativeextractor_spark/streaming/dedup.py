@@ -19,10 +19,45 @@ the watermark, or periodic batch re-dedup downstream.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from nativeextractor_spark.staging import stage
+
+#: Explicit schema of the durable band-state table. Pinned so state reads
+#: never depend on parquet schema inference — a directory that exists but
+#: has no data files yet (crashed first write) reads as an EMPTY frame
+#: instead of raising UNABLE_TO_INFER_SCHEMA, and a genuinely corrupt
+#: state table still fails loudly on the data files themselves.
+BAND_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("min_hash", T.LongType()),
+        T.StructField("batch_id", T.LongType()),
+    ]
+)
+
+
+def _read_band_state(spark: SparkSession, state_path: str) -> DataFrame | None:
+    """Band-state table at ``state_path``, or None when it has never been
+    written. 'Never written' is decided by an explicit FileSystem existence
+    check — NOT by classifying reader error messages, which is
+    Spark-version-fragile and can misread a corrupt-but-existing table as
+    first-batch-clean (silently disabling cross-batch matching). Any error
+    from reading an EXISTING path propagates and fails the batch."""
+    from nativeextractor_spark.kg.graph import _fs_exists
+
+    if not _fs_exists(spark, state_path):
+        return None
+    # project away the merge_into _bucket partition column the reader
+    # appends beyond the explicit schema
+    return (
+        spark.read.schema(BAND_STATE_SCHEMA)
+        .parquet(state_path)
+        .select(*[f.name for f in BAND_STATE_SCHEMA])
+    )
 
 
 def dedup_stream_exact(
@@ -78,18 +113,21 @@ def dedup_stream_near(
 
     Restart safety: the sink is a ``foreachBatch`` whose two writes are
     both idempotent ``merge_into`` upserts (survivors keyed on the doc id,
-    band state keyed on (doc_id, band)); the band state carries the
-    writing ``batch_id`` and each batch only matches against state rows
-    with ``batch_id < N`` — a replay of batch N can never match the
-    partial state it wrote before failing.
+    band state keyed on (doc_id, band, batch_id)); each batch only
+    matches against state rows with ``batch_id < N``, and because state
+    keys are batch-stamped, no batch can overwrite an earlier batch's
+    rows — a replay of batch N sees exactly the state its first attempt
+    saw, never the partial rows that attempt wrote before failing.
 
-    State sizing at scale: ``num_hashes`` rows per SURVIVOR, forever —
-    suppressed documents contribute nothing, and matching is always
-    against canonical representatives only (near-duplication is not
-    chained transitively across suppressed docs, the standard streaming
-    trade). Compact or TTL the state table out of band for unbounded
-    corpora. Returns a DataStreamWriter (availableNow trigger) — call
-    ``.start()``.
+    State sizing at scale: ``num_hashes`` rows per SURVIVOR per batch it
+    survives with distinct text — suppressed documents contribute
+    nothing, and matching is always against canonical representatives
+    only (near-duplication is not chained transitively across suppressed
+    docs, the standard streaming trade). Run
+    :func:`compact_band_state` out of band (stream stopped cleanly) to
+    collapse a doc's band generations to the latest and to TTL docs not
+    re-confirmed since a batch horizon. Returns a DataStreamWriter
+    (availableNow trigger) — call ``.start()``.
     """
     if not pages_stream.isStreaming:
         raise ValueError(
@@ -128,33 +166,14 @@ def dedup_stream_near(
 
         drops = None
         # cross-batch: match against canonical survivors of EARLIER
-        # batches. ONLY a missing state table (the very first batch) maps
-        # to prior=None — any other read error must propagate and fail the
-        # batch (r4 review: a swallowed transient error would silently run
-        # with cross-batch matching OFF, admitting near-duplicates into
-        # the canonical set forever)
-        from pyspark.errors import AnalysisException
-
-        try:
-            prior = spark.read.parquet(state_path).where(
-                F.col("batch_id") < F.lit(batch_id)
-            )
-        except AnalysisException as e:
-            msg = str(e)
-            # recoverable no-prior-state shapes: the path does not exist
-            # (first batch ever) or it exists with no readable data files
-            # (batch 0 crashed mid-write, leaving only _temporary — the
-            # reader then raises UNABLE_TO_INFER_SCHEMA; r4 review 2:
-            # re-raising that would wedge the stream forever, since the
-            # read always precedes the state write)
-            recoverable = (
-                "PATH_NOT_FOUND" in msg
-                or "Path does not exist" in msg
-                or "UNABLE_TO_INFER_SCHEMA" in msg
-            )
-            if not recoverable:
-                raise
-            prior = None
+        # batches. ONLY a never-written state table (explicit existence
+        # check) maps to prior=None — any error reading an existing table
+        # must propagate and fail the batch (a swallowed error would
+        # silently run with cross-batch matching OFF, admitting
+        # near-duplicates into the canonical set forever)
+        prior = _read_band_state(spark, state_path)
+        if prior is not None:
+            prior = prior.where(F.col("batch_id") < F.lit(batch_id))
         if prior is not None:
             drops = (
                 bands.join(
@@ -210,13 +229,94 @@ def dedup_stream_near(
             out_path,
             keys=[id_col],
         )
+        # state rows are keyed on (doc_id, band, batch_id) — APPEND-shaped
+        # across batches, idempotent within a replayed batch. Keying on
+        # (doc_id, band) alone would let a re-arriving survivor (same id,
+        # changed text) OVERWRITE its earlier-batch rows with batch_id=N;
+        # a crash after that merge but before the checkpoint commit would
+        # then replay batch N against state missing those rows (the
+        # batch_id < N filter no longer sees them), changing suppression
+        # decisions mid-replay. Batch-stamped keys make replays read
+        # exactly the pre-attempt state. Cost: a doc that survives k times
+        # with changed text holds k band generations until
+        # compact_band_state collapses them (stale generations only
+        # OVER-match — a conservative, documented trade).
         surviving_bands = bands.join(
             survivors.select(F.col("_id").alias("doc_id")), "doc_id"
-        ).withColumn("batch_id", F.lit(batch_id))
-        merge_into(surviving_bands, state_path, keys=["doc_id", "band"])
+        ).withColumn("batch_id", F.lit(batch_id).cast("long"))
+        merge_into(
+            surviving_bands, state_path, keys=["doc_id", "band", "batch_id"]
+        )
 
     return (
         pages_stream.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def compact_band_state(
+    spark: SparkSession,
+    state_path: str,
+    drop_before_batch: int | None = None,
+) -> dict:
+    """Out-of-band maintenance for the :func:`dedup_stream_near` band
+    state: collapse each (doc_id, band) to its LATEST batch generation,
+    and optionally TTL out whole documents whose newest state row is
+    older than ``drop_before_batch`` (dropping a doc re-admits future
+    near-duplicates of it — the standard TTL trade; bands are always
+    dropped per-doc, never individually, so matching strength stays
+    uniform).
+
+    Run ONLY while the stream is stopped after a clean run (no pending
+    micro-batch to replay): compaction keeps the max-batch_id row per
+    key, and if an uncommitted batch N wrote rows before a crash,
+    keeping its rows while dropping the pre-N generation would change
+    what a replay of N sees. After compaction the surviving rows keep
+    their original batch_id stamps, so the next batch's
+    ``batch_id < N`` filter still sees all of them (new batch ids only
+    grow). State size after compaction: exactly ``num_hashes`` rows per
+    retained canonical doc — the bound the per-batch state lacked.
+
+    Returns ``{"rows_before": n, "rows_after": m, "docs_dropped": k}``.
+    """
+    state = _read_band_state(spark, state_path)
+    if state is None:
+        return {"rows_before": 0, "rows_after": 0, "docs_dropped": 0}
+    state = state.localCheckpoint(eager=True)
+    rows_before = state.count()
+    latest = state.groupBy("doc_id").agg(
+        F.max("batch_id").alias("_latest_batch")
+    )
+    docs_dropped = 0
+    if drop_before_batch is not None:
+        dropped = latest.where(F.col("_latest_batch") < F.lit(drop_before_batch))
+        docs_dropped = dropped.count()
+        latest = latest.where(F.col("_latest_batch") >= F.lit(drop_before_batch))
+    compacted = (
+        state.join(latest, "doc_id")
+        .where(F.col("batch_id") == F.col("_latest_batch"))
+        .select("doc_id", "band", "min_hash", "batch_id")
+        .localCheckpoint(eager=True)
+    )
+    rows_after = compacted.count()
+    # swap via the Hadoop FS (works for file:/hdfs:/s3a:): write the
+    # compacted table fresh next to the live one, then delete + rename.
+    # The window between delete and rename is why this job is documented
+    # stream-stopped-only; a crash inside it leaves the compacted table
+    # at state_path + '.compact' for manual recovery.
+    from nativeextractor_spark.kg.graph import _hadoop_fs, merge_into
+
+    tmp_path = state_path.rstrip("/") + ".compact"
+    fs, jtmp = _hadoop_fs(spark, tmp_path)
+    if fs.exists(jtmp):
+        fs.delete(jtmp, True)
+    merge_into(compacted, tmp_path, keys=["doc_id", "band", "batch_id"])
+    _, jstate = _hadoop_fs(spark, state_path)
+    fs.delete(jstate, True)
+    fs.rename(jtmp, jstate)
+    return {
+        "rows_before": rows_before,
+        "rows_after": rows_after,
+        "docs_dropped": docs_dropped,
+    }

@@ -205,7 +205,7 @@ def duplicate_span_stats(
     assume_unique: bool = False,
 ) -> DataFrame:
     """(doc_id, n_chars, n_dup_spans, dup_span_chars, dup_span_frac) for
-    EVERY input document (zero rows for clean docs). The fraction is
+    EVERY input document (zero-valued stats for clean docs). The fraction is
     truncated to 6 decimals with the num*1e6/den association. Duplicate
     input ids are collapsed upfront (see :func:`collapse_ids`)."""
     if not assume_unique:

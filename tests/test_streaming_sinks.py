@@ -267,3 +267,90 @@ def test_streaming_near_dedup_cross_batch(spark, tmp_path_factory):
     assert set(r.doc_id for r in st.select("doc_id").distinct().collect()) == {
         "docA", "docB", "docC"
     }
+
+
+def test_near_dedup_band_generations_compaction_and_ttl(
+    spark, tmp_path_factory
+):
+    """r5: (a) a survivor re-arriving with CHANGED text appends a new band
+    generation without overwriting the prior one (replay-safe state keyed
+    on (doc_id, band, batch_id) — ADVICE r4 medium); (b) compact_band_state
+    collapses a doc to its latest generation and post-compaction matching
+    follows the doc's CURRENT canonical text; (c) the TTL flavor drops
+    stale docs, re-admitting their future near-duplicates."""
+    from nativeextractor_spark.streaming.dedup import (
+        compact_band_state,
+        dedup_stream_near,
+    )
+
+    src = str(tmp_path_factory.mktemp("gen_src"))
+    out = str(tmp_path_factory.mktemp("gen_out")) + "/docs"
+    state = str(tmp_path_factory.mktemp("gen_state")) + "/bands"
+    ck = str(tmp_path_factory.mktemp("gen_ck"))
+
+    tA1 = "the quick brown fox jumps over the lazy dog again and again today"
+    tA2 = (
+        "volcanic eruptions reshape island coastlines through repeated "
+        "lava flows each season"
+    )
+    tB = "completely different words about spark shuffles and joins here"
+
+    def feed(rows):
+        spark.createDataFrame(rows, "url string, text string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema("url string, text string").option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src)
+        q = dedup_stream_near(stream, out, state, ck).start()
+        q.awaitTermination(180)
+
+    # batch 0: two distinct docs
+    feed([("docA", tA1), ("docB", tB)])
+    run_once()
+    # batch 1: docA re-arrives with entirely new text -> survives again
+    feed([("docA", tA2)])
+    run_once()
+    st = spark.read.parquet(state)
+    gens = {
+        (r.doc_id, r.batch_id)
+        for r in st.select("doc_id", "batch_id").distinct().collect()
+    }
+    # (a) BOTH docA generations present: the batch-0 rows were not
+    # overwritten by the batch-1 upsert
+    assert ("docA", 0) in gens and ("docA", 1) in gens, gens
+    assert ("docB", 0) in gens
+    a_rows = st.where(st.doc_id == "docA").count()
+    assert a_rows == 16, a_rows  # 8 hashes x 2 generations
+
+    # (b) compact: docA collapses to the batch-1 generation only
+    res = compact_band_state(spark, state)
+    assert res == {"rows_before": 24, "rows_after": 16, "docs_dropped": 0}, res
+    st = spark.read.parquet(state)
+    assert st.where(st.doc_id == "docA").count() == 8
+    assert (
+        st.where(st.doc_id == "docA").select("batch_id").distinct().collect()[0]
+        .batch_id
+        == 1
+    )
+
+    # batch 2: near-dup of docA's OLD text now survives (old generation
+    # compacted away; canonical docA text IS tA2), near-dup of the NEW
+    # text is still suppressed
+    feed([("docA_old_dup", tA1 + " extra"), ("docA_new_dup", tA2 + " extra")])
+    run_once()
+    urls = {r.url for r in spark.read.parquet(out).collect()}
+    assert urls == {"docA", "docB", "docA_old_dup"}, urls
+
+    # (c) TTL: docB's latest generation is batch 0 < 1 -> dropped whole
+    res = compact_band_state(spark, state, drop_before_batch=1)
+    assert res["docs_dropped"] == 1, res
+    st = spark.read.parquet(state)
+    assert "docB" not in {r.doc_id for r in st.select("doc_id").collect()}
+    # batch 3: a near-dup of docB is re-admitted
+    feed([("docB_dup", tB + " extra")])
+    run_once()
+    urls = {r.url for r in spark.read.parquet(out).collect()}
+    assert urls == {"docA", "docB", "docA_old_dup", "docB_dup"}, urls
