@@ -219,6 +219,13 @@ def _headline(spark, sf: float) -> tuple[dict[str, float], dict[str, float]]:
         "glob_star_first_pages",
         lambda: extract_occurrences(pages, [GlobMiner("*k")]).count(),
     )
+    # multi-star trailing glob (r5 fast_multi_star engine: the reference's
+    # '*i*k*' golden class — no-leak failure closed forms, one C regex
+    # call per anchored candidate, measured 3.5-4.4x the naive walk)
+    timed(
+        "glob_multi_star_pages",
+        lambda: extract_occurrences(pages, [GlobMiner("*i*k*")]).count(),
+    )
     # simhash over the full pages table: JVM zero-shuffle projection engine
     # (r3; the r2 Python-md5 kernel measures ~0.9 s here but pays the Arrow
     # text transfer into Python workers the JVM engine avoids at scale)
@@ -257,6 +264,46 @@ def _headline(spark, sf: float) -> tuple[dict[str, float], dict[str, float]]:
         ).count(),
     )
     timed("line_dedup", lambda: drop_duplicate_lines(lines_df).count())
+    # END-TO-END curation pipeline (r5 headline row): Gopher quality +
+    # faithful span-repetition filters -> exact dedup -> corpus-wide line
+    # dedup -> LSH near dedup -> PII redaction, production flavors
+    # (xx64/word_hash, hash line keys) over the lines-ified corpus
+    from nativeextractor_spark.textops.pipeline import curate_corpus
+
+    def run_curate():
+        out, metrics = curate_corpus(lines_df, id_col="doc_id")
+        return metrics["n_output"]
+
+    timed("curate_corpus", run_curate)
+    # planted-skew LSH (r5): 10% of docs share one 200-token shingle
+    # prefix -> one oversized LSH bucket per band; the max_bucket cap must
+    # keep the self-join bounded instead of quadratic (~12.5M pairs at
+    # 50k pages)
+    hot_prefix = (
+        "array_join(transform(sequence(1, 200), i -> concat('hot', i)), ' ')"
+    )
+    skew_df = pages.select(
+        F.col("url").alias("doc_id"),
+        F.when(
+            F.xxhash64("url") % 10 == 0,
+            F.expr(
+                f"concat({hot_prefix}, ' ', array_join(slice(split(text, ' '), 1, 5), ' '))"
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    ).localCheckpoint(eager=True)
+    timed(
+        "skew_lsh_capped",
+        lambda: lsh_duplicate_pairs(
+            skew_df,
+            num_hashes=8,
+            k=3,
+            max_bucket=200,
+            hash_flavor="xx64",
+            shingle="word_hash",
+        ).count(),
+    )
     # ExactSubstr-style duplicate-span stats (r4): corpus-wide 8-token
     # gram counts on 8-byte keys, dup-only join build side
     from nativeextractor_spark.textops.spans import duplicate_span_stats
@@ -269,8 +316,12 @@ def _headline(spark, sf: float) -> tuple[dict[str, float], dict[str, float]]:
             assume_unique=True,
         ).count(),
     )
-    timed("tpch_q1", lambda: QUERIES["tpch_q1"](spark, SF_DIR).count())
-    timed("ann_topk", lambda: QUERIES["ann_topk"](spark, SF_DIR).count())
+    # these two read the driver-provided sf tables; a synthetic-pages-only
+    # sf dir (the sf1 scale-up run uses one) skips them rather than fail
+    if os.path.exists(os.path.join(SF_DIR, "lineitem.parquet")):
+        timed("tpch_q1", lambda: QUERIES["tpch_q1"](spark, SF_DIR).count())
+    if os.path.exists(os.path.join(SF_DIR, "embeddings.parquet")):
+        timed("ann_topk", lambda: QUERIES["ann_topk"](spark, SF_DIR).count())
     # regex parity engine over the corpus: the vectorized DFA executor
     # (NumPy batch gathers; 30x the r1 per-char scalar loop) — the two
     # reference regexes from tests/regex_miner.c

@@ -163,12 +163,12 @@ def regex_engine_safe(glob: str) -> bool:
     return True
 
 
-def split_single_star(glob: str):
-    """(prefix, suffix) around the glob's single top-level ``*`` — None if
-    there are zero or several stars, an escape anywhere (the reference's
-    raw-backslash probe quirk keeps escapes on the exact engine), or an
-    unterminated set. ``*`` inside ``[sets]`` is a set member, not a
-    wildcard (match_glob_impl's '[' branch consumes it)."""
+def top_level_star_positions(glob: str):
+    """Indices of the glob's top-level ``*`` elements — None if there is an
+    escape anywhere (the reference's raw-backslash probe quirk keeps
+    escapes on the exact engine) or an unterminated set. ``*`` inside
+    ``[sets]`` is a set member, not a wildcard (match_glob_impl's '['
+    branch consumes it)."""
     stars: list[int] = []
     i, n = 0, len(glob)
     while i < n:
@@ -204,10 +204,35 @@ def split_single_star(glob: str):
             i += 1
         else:
             i += 1
-    if len(stars) != 1:
+    return stars
+
+
+def split_single_star(glob: str):
+    """(prefix, suffix) around the glob's single top-level ``*`` — None if
+    there are zero or several stars, an escape, or an unterminated set."""
+    stars = top_level_star_positions(glob)
+    if stars is None or len(stars) != 1:
         return None
     s = stars[0]
     return glob[:s], glob[s + 1 :]
+
+
+def split_top_level_stars(glob: str):
+    """Segments between the glob's top-level ``*`` elements:
+    ``glob == segs[0] + '*' + segs[1] + '*' + ... + '*' + segs[-1]`` —
+    None if there is no top-level star, an escape, or an unterminated
+    set. Segments at the ends are ``''`` for star-first / trailing-star
+    globs."""
+    stars = top_level_star_positions(glob)
+    if not stars:
+        return None
+    segs: list[str] = []
+    prev = 0
+    for s in stars:
+        segs.append(glob[prev:s])
+        prev = s + 1
+    segs.append(glob[prev:])
+    return segs
 
 
 def trailing_star_safe(glob: str) -> bool:
@@ -367,16 +392,19 @@ class GlobMiner(PatternMiner):
     - ``regex`` — C-speed ``re`` scanning when :func:`regex_engine_safe`
       (star-free) or :func:`trailing_star_safe` (``A*``) proves scan-level
       equivalence;
-    - ``fast_star`` — the vectorized single-star scans
+    - ``fast_star`` — the vectorized star scans
       (:func:`~nativeextractor_spark.miners.glob_exact.fast_star_scan`
-      for mid-star ``A*B`` (r3) and
+      for mid-star ``A*B`` (r3),
       :func:`~nativeextractor_spark.miners.glob_exact.fast_star_first_scan`
-      for star-first ``*B`` (r4)): attempts resolved by C-level regex
-      calls, failure-advance and end-mark-leak guards reproduced
-      closed-form; property-tested against the naive machine walk;
+      for star-first ``*B`` (r4), and
+      :func:`~nativeextractor_spark.miners.glob_exact.fast_multi_star_scan`
+      for multi-star trailing ``A*B1*...*`` / ``*B1*...*`` (r5)): attempts
+      resolved by C-level regex calls, failure-advance and end-mark-leak
+      guards reproduced closed-form; property-tested against the naive
+      machine walk;
     - ``exact`` — the transcribed reference cursor machine for everything
-      else (multi-star, escapes, delimiter-matching elements) — bit-exact
-      including failure-advance scan guards.
+      else (non-trailing multi-star, escapes, delimiter-matching
+      elements) — bit-exact including failure-advance scan guards.
 
     ``engine="exact"`` / ``engine="regex"`` / ``engine="fast_star"``
     force a specific engine (the regex path is also equivalent for ANY
@@ -398,6 +426,7 @@ class GlobMiner(PatternMiner):
         if engine == "auto":
             from nativeextractor_spark.miners.glob_exact import (
                 fast_star_class,
+                multi_star_trailing_class,
                 star_first_class,
             )
 
@@ -406,6 +435,7 @@ class GlobMiner(PatternMiner):
             elif (
                 fast_star_class(glob) is not None
                 or star_first_class(glob) is not None
+                or multi_star_trailing_class(glob) is not None
             ):
                 engine = "fast_star"
             else:

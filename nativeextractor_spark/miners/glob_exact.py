@@ -310,10 +310,11 @@ def _candidate_re(glob: str):
     raw-'[' quirk) get no prefilter HERE: with no first element to
     reject candidates, token-start anchoring prunes nothing for the
     per-attempt machine walk (measured ~15% slower on single-space text),
-    so multi-star star-first globs stay on the plain naive walk. The
-    single-star star-first class instead uses the same token-start anchor
-    inside :func:`fast_star_first_scan`, where each candidate costs ONE
-    C regex call and the anchoring IS the win.
+    so NON-trailing multi-star star-first globs stay on the plain naive
+    walk. The star-first classes with closed-form failures instead use the
+    same token-start anchor inside :func:`fast_star_first_scan` /
+    :func:`fast_multi_star_scan`, where each candidate costs ONE C regex
+    call and the anchoring IS the win.
     """
     if not glob or glob[0] == "*" or _starts_with_delimiter(glob):
         return None
@@ -442,9 +443,13 @@ def fast_star_scan(text: str, glob: str) -> list[tuple[int, int]]:
     texts and class globs.
     """
     if fast_star_class(glob) is None and star_first_class(glob) is not None:
-        # the 'fast_star' engine name covers both single-star classes;
+        # the 'fast_star' engine name covers all vectorized star classes;
         # star-first patterns run the simpler anchored scan
         return fast_star_first_scan(text, glob)
+    if fast_star_class(glob) is None and multi_star_trailing_class(glob) is not None:
+        # r5: multi-star with a trailing star (e.g. '*i*k*',
+        # '*[abc]*[a-f]*[1-9]*') — no-leak failure closed forms
+        return fast_multi_star_scan(text, glob)
     combo_re, b_re, rest_skips = _fast_star_res(glob)
     cand = _candidate_re(glob)
     delim_search = _delim_re().search
@@ -599,6 +604,158 @@ def fast_star_first_scan(text: str, glob: str) -> list[tuple[int, int]]:
         else:
             hitd = delim_search(text, p + 1)
             pos = hitd.start() + 1 if hitd else n
+    return out
+
+
+@_lru_cache(maxsize=1024)
+def multi_star_trailing_class(glob: str):
+    """Segment tuple when ``glob`` is in the vectorizable MULTI-star
+    trailing-star class (r5, VERDICT r4 item 4), else None.
+
+    Class: >= 2 top-level stars, the LAST element a star, no escapes, the
+    glob not delimiter-starting, every inter-star segment non-empty and
+    star-free in the proven regex class (delimiter-free elements); the
+    segment before the first star may be empty (star-first, e.g.
+    ``*i*k*`` — tests/glob.c:269-280) or a proven prefix (``A*B*``).
+    Returns ``(seg0, seg1, ..., seg_{k-1})`` with the final empty segment
+    dropped.
+
+    Why THIS multi-star class closes the failure state with the already
+    proven single-star forms: every recursion level's glob is a suffix of
+    the original, so every level ends with the trailing star — a level
+    that reaches its own pattern end has just run ``_skip_nondelimiter_
+    run``, landing on a delimiter or EOF, where the token-end tail check
+    holds by construction. A nested completion therefore ALWAYS succeeds
+    and propagates success to the top: no failed attempt can ever fire
+    mark_end, i.e. the end-mark LEAK that complicates mid-star ``A*B``
+    cannot exist here. Failed attempts leave only the outer retnul
+    position, which is the single-star closed form: one past the first
+    delimiter at/after pos0+1 (prefix failures: one past the first
+    delimiter at/after p). Inner star walks and entry-skipping rest
+    attempts may roam far past that delimiter, but their positions are
+    always restored (pos_save) on rest failure and their acceptance order
+    is exactly what :func:`~nativeextractor_spark.miners.glob.
+    translate_fragment` encodes per star — so one anchored C regex call
+    resolves each attempt. Non-trailing multi-star globs (``A*B*C``) stay
+    on the exact machine: their deepest completions CAN fail the tail and
+    leak across several tokens (entry-skips), and no closed form is
+    proven for that guard.
+    """
+    from nativeextractor_spark.miners.glob import (
+        regex_engine_safe,
+        split_top_level_stars,
+    )
+
+    segs = split_top_level_stars(glob)
+    if segs is None or len(segs) < 3:  # < 2 stars
+        return None
+    if segs[-1] != "":
+        return None
+    mids = segs[1:-1]
+    if any(not m for m in mids):
+        return None  # consecutive stars ('a**') stay on the exact machine
+    if _starts_with_delimiter(glob):
+        return None
+    a = segs[0]
+    for seg in ([a] if a else []) + mids:
+        if not regex_engine_safe(seg):
+            return None
+    return tuple(segs[:-1])
+
+
+@_lru_cache(maxsize=1024)
+def _multi_star_res(glob: str):
+    from nativeextractor_spark.functions.unicode import class_body
+    from nativeextractor_spark.miners.base import compile_cached
+    from nativeextractor_spark.miners.glob import translate_fragment
+
+    segs = multi_star_trailing_class(glob)
+    a = segs[0]
+    d = class_body("delim")
+    tail = f"(?:(?=[{d}])|\\Z)"
+    body = f"{translate_fragment(glob)}{tail}"
+    if a:
+        # mid-star shape: one combo call resolves the attempt — full body
+        # first (machine try order), else the bare prefix tells us the
+        # first star was reached and where it started
+        combo_re = compile_cached(f"(?:(?P<occ>{body})|(?P<pre>{translate_fragment(a)}))")
+        return combo_re, None
+    # star-first shape: token-start anchored candidates (the glob-level
+    # entry skip runs for the non-delimiter-starting '*')
+    body_re = compile_cached(body)
+    cand_re = compile_cached(f"(?:\\A|(?<=[{d}]))[^{d}]")
+    return body_re, cand_re
+
+
+def fast_multi_star_scan(text: str, glob: str) -> list[tuple[int, int]]:
+    """Vectorized scan for :func:`multi_star_trailing_class` globs — one
+    anchored C regex call per candidate (see the class docstring for the
+    no-leak proof that makes the single-star failure closed forms apply).
+
+    Star-first shape (``*B1*...*``): exactly the
+    :func:`fast_star_first_scan` loop — candidate token starts, success
+    emits and jumps past the span, failure jumps one past the first
+    delimiter strictly after the candidate.
+
+    Prefix shape (``A*B1*...*``): the :func:`fast_star_scan` loop minus
+    every leak/skip probe (leaks cannot exist; a pos0-on-delimiter rest
+    entry-skip changes only ACCEPTANCE, which the combo body already
+    encodes, never the failure guard): prefix failure jumps one past p's
+    token; star failure jumps one past the first delimiter strictly after
+    pos0. The guard therefore always lands just past a delimiter (or at
+    p+1 <= failpos), so the mid-token literal-attempt arm of the
+    single-star engine is dead here and every attempt stays anchored.
+
+    Property-tested against :func:`_reference_glob_scan_naive`
+    (tests/test_glob_property.py) and pinned by the reference goldens
+    ``*i*k*`` (tests/glob.c:269-280) and ``*[abc]*[a-f]*[1-9]*``
+    (tests/glob.c:299-309).
+    """
+    re1, cand_re = _multi_star_res(glob)
+    delim_search = _delim_re().search
+    out: list[tuple[int, int]] = []
+    n = len(text)
+    pos = 0
+    if cand_re is not None:  # star-first shape
+        search = cand_re.search
+        while pos < n:
+            hit = search(text, pos)
+            if hit is None:
+                break
+            p = hit.start()
+            m = re1.match(text, p)
+            if m is not None:
+                e = m.end()
+                out.append((p, e))
+                pos = max(p + 1, e + 1 if e < n else e)
+            else:
+                hitd = delim_search(text, p + 1)
+                pos = hitd.start() + 1 if hitd else n
+        return out
+    cand = _candidate_re(glob)
+    cand_iter = cand.finditer(text)
+    while pos < n:
+        p = None
+        for hit in cand_iter:
+            if hit.start() >= pos:
+                p = hit.start()
+                break
+        if p is None:
+            break
+        m = re1.match(text, p)
+        if m is None:
+            # prefix failure: the machine dies inside p's token and
+            # retnuls one past its closing delimiter — nothing leaks
+            hitd = delim_search(text, p)
+            pos = hitd.start() + 1 if hitd else n
+        elif m.lastgroup == "pre":
+            pos0 = m.end()
+            hitd = delim_search(text, pos0 + 1)
+            pos = max(p + 1, hitd.start() + 1 if hitd else n)
+        else:
+            e = m.end()
+            out.append((p, e))
+            pos = max(p + 1, e + 1 if e < n else e)
     return out
 
 

@@ -231,6 +231,35 @@ SELECT doc_id, n_matches FROM (
 """
 
 
+def q_glob_multi_star(spark, sf_dir):
+    """Multi-star trailing glob ``*in*`` on the r5 fast_multi_star engine
+    (reference golden class tests/glob.c:269-280 ``*i*k*``). The 2-star
+    star-first shape provably never crosses a token boundary (the leading
+    star starts on a non-delimiter, the trailing star matches empty at
+    the token-end delimiter), so on the single-spaced documents corpus it
+    reduces to whole tokens containing the segment — the oracle below.
+    Globs with >= 2 INNER segments can cross token boundaries (an inner
+    star starting on a delimiter entry-skips into the next token) and are
+    pinned by the naive-walk property tests instead."""
+    occ = extract_occurrences(
+        _docs(spark, sf_dir), [GlobMiner("*in*")], key_col="doc_id"
+    )
+    return (
+        occ.groupBy(F.col("doc_id").cast("long").alias("doc_id"))
+        .agg(F.count("*").alias("n_matches"))
+    )
+
+
+O_GLOB_MULTI_STAR = """
+SELECT doc_id, n_matches FROM (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '),
+             t -> contains(t, 'in'))) AS n_matches
+  FROM documents
+) WHERE n_matches > 0
+"""
+
+
 def q_ner_prefix_match(spark, sf_dir):
     gaz = GazetteerMiner(AliasDict.from_aliases(_NER_DICT), label="NER")
     occ = extract_occurrences(_docs(spark, sf_dir), [gaz], key_col="doc_id")
@@ -516,7 +545,7 @@ _CC_VALUES = ", ".join(f"({u}, {v})" for u, v in _CC_EDGES)
 O_CC_COMPONENTS = f"""
 WITH RECURSIVE e(u, v) AS (VALUES {_CC_VALUES}),
 nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
-sym AS (SELECT u, v FROM e WHERE u <> v UNION SELECT v, u FROM e WHERE u <> v),
+sym AS MATERIALIZED (SELECT u, v FROM e WHERE u <> v UNION SELECT v, u FROM e WHERE u <> v),
 reach(node, r) AS (
   SELECT node, node FROM nodes
   UNION
@@ -1724,6 +1753,206 @@ FROM tot t LEFT JOIN reb ON reb.doc_id = t.doc_id
 """
 
 
+def _curate_input(spark, sf_dir):
+    """Deterministic curation corpus with work for every pipeline stage:
+    the multi-line docs (boilerplate header + intra-doc dup lines) plus
+    planted EXACT duplicates (doc_id+100000, same text, every 10th doc)
+    and NEAR duplicates (doc_id+200000, every line suffixed ' zq', every
+    10th+1 doc — line-level unique so line dedup keeps them, shingle-level
+    close so LSH catches them)."""
+    base = _docs_with_lines(spark, sf_dir)
+    exact = base.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    near = base.where(F.col("doc_id") % 10 == 1).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.expr(
+            "concat(replace(text, chr(10), concat(' zq', chr(10))), ' zq')"
+        ).alias("text"),
+    )
+    return base.unionByName(exact).unionByName(near)
+
+
+def _curate(spark, sf_dir):
+    from nativeextractor_spark.textops.pipeline import curate_corpus
+
+    return curate_corpus(
+        _curate_input(spark, sf_dir),
+        text_col="text",
+        id_col="doc_id",
+        # oracle-replicable LSH flavor (md5 char-5 shingles); everything
+        # else is the production default — incl. the span repetition rule
+        lsh_k=5,
+        lsh_min_shared_bands=5,
+        lsh_hash_flavor="md5",
+        lsh_shingle="char",
+        # redaction has its own contract query (redact_pii); the corpus
+        # here is plain lowercase words, so it would be a no-op pass
+        redact=False,
+    )
+
+
+def q_curate_corpus(spark, sf_dir):
+    """The END-TO-END curation pipeline as a contract query (r5): Gopher
+    quality + span-repetition filters -> exact dedup -> corpus-wide line
+    dedup -> MinHash-LSH + connected-components near dedup; survivors with
+    their final (line-deduped) text, replayed stage-by-stage in DuckDB."""
+    out, _ = _curate(spark, sf_dir)
+    return out.select(
+        "doc_id", F.length("text").cast("long").alias("n_chars"), "text"
+    )
+
+
+def q_curate_corpus_metrics(spark, sf_dir):
+    """Per-stage surviving-document counts of the same pipeline run."""
+    _, metrics = _curate(spark, sf_dir)
+    rows = [
+        (k, int(metrics[k]))
+        for k in (
+            "n_input",
+            "n_distinct_ids",
+            "after_filters",
+            "after_exact_dedup",
+            "after_line_dedup",
+            "after_near_dedup",
+            "n_output",
+        )
+    ]
+    return spark.createDataFrame(rows, "stage string, n long")
+
+
+# the shared stage-by-stage DuckDB replay: inp -> (quality qk ∩ span-
+# repetition rk) -> exact dedup f2 -> line dedup f3 -> LSH+CC near dedup f4.
+# String ids throughout (the pipeline casts ids to string on entry, so every
+# keep-min compares VARCHARs in both engines).
+_CURATE_CORE_SQL = f"""
+{_DOCS_WITH_LINES_SQL},
+inp AS MATERIALIZED (
+  SELECT cast(doc_id AS varchar) AS id, text FROM d
+  UNION ALL
+  SELECT cast(doc_id + 100000 AS varchar), text FROM d WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT cast(doc_id + 200000 AS varchar),
+         replace(text, chr(10), ' zq' || chr(10)) || ' zq'
+  FROM d WHERE doc_id % 10 = 1
+),
+qt AS (SELECT id, regexp_split_to_array(lower(text), '\\s+') AS toks FROM inp),
+qm AS (SELECT id, len(toks) AS n_words,
+         list_sum(list_transform(toks, t -> length(t))) AS ciw,
+         len(list_filter(toks, t -> contains(t, '#') OR contains(t, '...'))) AS n_sym,
+         len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]'))) AS n_alpha,
+         len(list_filter(toks, t -> list_contains(
+           ['the','be','to','of','and','that','have','with'], t))) AS n_stop
+       FROM qt),
+qk AS (SELECT id FROM qm WHERE n_words BETWEEN 50 AND 100000
+         AND ciw * 1.0 / greatest(n_words, 1) BETWEEN 3 AND 10
+         AND n_sym * 1.0 / greatest(n_words, 1) <= 0.1
+         AND n_alpha * 1.0 / greatest(n_words, 1) >= 0.8
+         AND n_stop >= 2),
+rlr AS (SELECT id, length(text) AS n_chars, unnest(string_split(text, chr(10))) AS line FROM inp),
+rlc AS (SELECT id, n_chars, line, count(*) AS c FROM rlr GROUP BY id, n_chars, line),
+rls AS (SELECT id, n_chars, sum(c) AS n_lines, sum(c - 1) AS dup_lines,
+              sum(c * length(line)) AS line_chars, sum((c - 1) * length(line)) AS dup_line_chars
+       FROM rlc GROUP BY id, n_chars),
+rtk AS (SELECT id, length(text) AS n_chars, regexp_split_to_array(text, '[ \\n]') AS toks FROM inp),
+rtk2 AS (SELECT *, list_transform(toks, t -> length(t)) AS tlens FROM rtk),
+rtk3 AS (SELECT *, list_transform(range(1, len(toks) + 1),
+                  i -> coalesce(list_sum(tlens[1:i-1]), 0) + (i - 1)) AS starts FROM rtk2),
+rg AS (SELECT id, n_chars, n,
+        unnest(list_transform(range(1, greatest(len(toks) - n + 1, 0) + 1),
+          i -> struct_pack(gram := array_to_string(toks[i:i+n-1], ' '),
+                           s := starts[i],
+                           e := starts[i+n-1] + tlens[i+n-1]))) AS o
+      FROM rtk3 CROSS JOIN (SELECT unnest([2,3,4,5,6,7,8,9,10]) AS n)),
+rgo AS (SELECT id, n_chars, n, (o).gram AS gram, (o).s AS s, (o).e AS e FROM rg),
+rgc AS (SELECT id, n_chars, n, gram, count(*) AS c FROM rgo GROUP BY id, n_chars, n, gram),
+rgr AS (SELECT *, row_number() OVER (PARTITION BY id, n
+         ORDER BY c DESC, length(gram) DESC, gram DESC) AS r FROM rgc),
+rtops AS (SELECT id, n_chars, n,
+           max(CASE WHEN r = 1 THEN c * length(gram) END) AS top_chars
+         FROM rgr GROUP BY id, n_chars, n),
+rd1 AS (SELECT rgo.id, rgo.n, rgo.s, rgo.e
+       FROM rgo JOIN rgc ON rgc.id = rgo.id AND rgc.n = rgo.n AND rgc.gram = rgo.gram
+       WHERE rgc.c > 1),
+ri1 AS (SELECT *, max(e) OVER (PARTITION BY id, n ORDER BY s, e
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax FROM rd1),
+ri2 AS (SELECT *, sum(CASE WHEN prevmax IS NULL OR s > prevmax THEN 1 ELSE 0 END)
+         OVER (PARTITION BY id, n ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS isl FROM ri1),
+rcov AS (SELECT id, n, sum(mx - mn) AS covered FROM
+          (SELECT id, n, isl, min(s) AS mn, max(e) AS mx FROM ri2 GROUP BY id, n, isl)
+        GROUP BY id, n),
+rfr AS (SELECT t.id, t.n,
+         CASE WHEN t.n <= 4 THEN floor(t.top_chars * 1000000.0 / greatest(t.n_chars, 1)) / 1000000
+              ELSE floor(coalesce(rcov.covered, 0) * 1000000.0 / greatest(t.n_chars, 1)) / 1000000 END AS frac
+       FROM rtops t LEFT JOIN rcov ON rcov.id = t.id AND rcov.n = t.n),
+rgw AS (SELECT id,
+         max(CASE WHEN n = 2 THEN frac END) AS t2, max(CASE WHEN n = 3 THEN frac END) AS t3,
+         max(CASE WHEN n = 4 THEN frac END) AS t4, max(CASE WHEN n = 5 THEN frac END) AS d5,
+         max(CASE WHEN n = 6 THEN frac END) AS d6, max(CASE WHEN n = 7 THEN frac END) AS d7,
+         max(CASE WHEN n = 8 THEN frac END) AS d8, max(CASE WHEN n = 9 THEN frac END) AS d9,
+         max(CASE WHEN n = 10 THEN frac END) AS d10
+       FROM rfr GROUP BY id),
+rk AS (SELECT rls.id FROM rls LEFT JOIN rgw ON rgw.id = rls.id
+       WHERE floor(dup_lines * 1000000.0 / greatest(n_lines, 1)) / 1000000 <= 0.30
+         AND floor(dup_line_chars * 1000000.0 / greatest(line_chars, 1)) / 1000000 <= 0.20
+         AND coalesce(t2, 0.0) <= 0.20 AND coalesce(t3, 0.0) <= 0.18 AND coalesce(t4, 0.0) <= 0.16
+         AND coalesce(d5, 0.0) <= 0.15 AND coalesce(d6, 0.0) <= 0.14 AND coalesce(d7, 0.0) <= 0.13
+         AND coalesce(d8, 0.0) <= 0.12 AND coalesce(d9, 0.0) <= 0.11 AND coalesce(d10, 0.0) <= 0.10),
+f1 AS MATERIALIZED (SELECT inp.id, inp.text FROM inp JOIN qk USING (id) JOIN rk USING (id)),
+ek AS (SELECT min(id) AS id FROM f1 GROUP BY sha256(text)),
+f2 AS MATERIALIZED (SELECT f1.id, f1.text FROM f1 JOIN ek USING (id)),
+lr2 AS (SELECT id, u.pos AS pos, u.line AS line FROM (
+        SELECT id, unnest(list_transform(string_split(text, chr(10)),
+               (x, i) -> {{'pos': i - 1, 'line': x}})) AS u FROM f2)),
+lf AS (SELECT line, count(*) AS cnt, min(struct_pack(d := id, p := pos)) AS first
+       FROM lr2 GROUP BY line),
+kept2 AS (SELECT r.id, r.pos, r.line FROM lr2 r JOIN lf USING (line)
+         WHERE length(line) < 1 OR lf.cnt = 1
+            OR (r.id = lf.first.d AND r.pos = lf.first.p)),
+f3 AS MATERIALIZED (SELECT f2.id, coalesce(reb.text, '') AS text FROM f2 LEFT JOIN
+        (SELECT id, string_agg(line, chr(10) ORDER BY pos) AS text
+         FROM kept2 GROUP BY id) reb USING (id)),
+sh2 AS (SELECT id, lower(text) AS t FROM f3),
+sh3 AS (SELECT id, list_transform(range(1, greatest(length(t) - 4, 1) + 1),
+                  i -> substring(t, cast(i AS int), 5)) AS shingles FROM sh2),
+bnd AS (SELECT id, band, list_min(list_transform(shingles,
+                  s -> md5(cast(band AS varchar) || s))) AS min_hash
+        FROM (SELECT id, unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS band, shingles FROM sh3)),
+bsz AS (SELECT band, min_hash FROM bnd GROUP BY band, min_hash HAVING count(*) <= 200),
+bb AS (SELECT bnd.* FROM bnd JOIN bsz USING (band, min_hash)),
+prs AS (SELECT a.id AS ia, b.id AS ib FROM bb a JOIN bb b
+          ON a.band = b.band AND a.min_hash = b.min_hash AND a.id < b.id
+        GROUP BY a.id, b.id HAVING count(*) >= 5),
+sym AS (SELECT ia AS u, ib AS v FROM prs UNION SELECT ib, ia FROM prs),
+reach(node, rt) AS (
+  SELECT id, id FROM f3
+  UNION
+  SELECT s.u, reach.rt FROM sym s JOIN reach ON s.v = reach.node
+),
+comp AS (SELECT node AS id, min(rt) AS root FROM reach GROUP BY node),
+keepn AS (SELECT min(id) AS id FROM comp GROUP BY root),
+f4 AS (SELECT f3.id, f3.text FROM f3 JOIN keepn USING (id))
+"""
+
+
+O_CURATE_CORPUS = f"""
+WITH RECURSIVE {_CURATE_CORE_SQL}
+SELECT id AS doc_id, length(text)::BIGINT AS n_chars, text FROM f4
+"""
+
+
+O_CURATE_CORPUS_METRICS = f"""
+WITH RECURSIVE {_CURATE_CORE_SQL}
+SELECT 'n_input' AS stage, count(*)::BIGINT AS n FROM inp
+UNION ALL SELECT 'n_distinct_ids', count(DISTINCT id) FROM inp
+UNION ALL SELECT 'after_filters', count(*) FROM f1
+UNION ALL SELECT 'after_exact_dedup', count(*) FROM f2
+UNION ALL SELECT 'after_line_dedup', count(*) FROM f3
+UNION ALL SELECT 'after_near_dedup', count(*) FROM f4
+UNION ALL SELECT 'n_output', count(*) FROM f4
+"""
+
+
 def q_redact_pii(spark, sf_dir):
     """PII redaction over the reference fixture pages (email/URL/telephone
     miners → typed placeholders)."""
@@ -2093,6 +2322,7 @@ QUERIES = {
     "glob_token_the": q_glob_token_the,
     "glob_star_sk": q_glob_star_sk,
     "glob_star_first": q_glob_star_first,
+    "glob_multi_star": q_glob_multi_star,
     "ann_recall_clustered": q_ann_recall_clustered,
     "ner_prefix_match": q_ner_prefix_match,
     "fixture_entities": q_fixture_entities,
@@ -2130,6 +2360,8 @@ QUERIES = {
     "dup_span_stats": q_dup_span_stats,
     "dup_span_removal": q_dup_span_removal,
     "line_dedup": q_line_dedup,
+    "curate_corpus": q_curate_corpus,
+    "curate_corpus_metrics": q_curate_corpus_metrics,
     "redact_pii": q_redact_pii,
     "tpch_q1": q_tpch_q1,
     "tpch_q3_topk": q_tpch_q3_topk,
@@ -2146,6 +2378,7 @@ def build_oracles() -> dict[str, str]:
         "glob_token_the": O_GLOB_TOKEN_THE,
         "glob_star_sk": O_GLOB_STAR_SK,
         "glob_star_first": O_GLOB_STAR_FIRST,
+        "glob_multi_star": O_GLOB_MULTI_STAR,
         "ner_prefix_match": O_NER_PREFIX_MATCH,
         "fixture_entities": O_FIXTURE_ENTITIES,
         "fixture_glob_counts": O_FIXTURE_GLOB_COUNTS,
@@ -2175,6 +2408,8 @@ def build_oracles() -> dict[str, str]:
         "dup_span_stats": O_DUP_SPAN_STATS,
         "dup_span_removal": O_DUP_SPAN_REMOVAL,
         "line_dedup": O_LINE_DEDUP,
+        "curate_corpus": O_CURATE_CORPUS,
+        "curate_corpus_metrics": O_CURATE_CORPUS_METRICS,
         "redact_pii": _o_redact_pii(),
         "tpch_q1": O_TPCH_Q1,
         "tpch_q3_topk": O_TPCH_Q3_TOPK,

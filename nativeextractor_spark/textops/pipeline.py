@@ -5,13 +5,17 @@ Composes the curation operators in the standard web-corpus order
 
 1. **filter** — Gopher quality rules + repetition rules (and optionally a
    language allowlist); documents failing any enabled rule set drop out.
-   NOTE (ADVICE r3): by default the repetition rules use the
-   count-weighted ``dup{n}gram_char_frac`` flavor (every overlapping
-   occurrence counts, an upper bound on the paper's span-union fraction)
-   with the paper's unchanged thresholds — so the default filters
-   somewhat MORE aggressively than published Gopher pass rates. Pass
-   ``repetition_flavor="span"`` (r4) for the faithful span-union rule,
-   whose pass rates ARE comparable to the paper's.
+   The repetition rules default to the FAITHFUL span-union
+   ``dup{n}gram_char_frac`` flavor (r5; Rae et al. 2021), whose pass
+   rates are comparable to the published Gopher numbers — it costs one
+   running-sum window over the dup-gram rows. Pass
+   ``repetition_flavor="count"`` for the cheaper count-weighted upper
+   bound (every overlapping occurrence counts), which can only filter
+   MORE aggressively at the paper's unchanged thresholds. On the
+   synthetic sf0.01 lines corpus the two flavors happen to agree
+   (144/200 pass both — its dup-grams rarely overlap); on real web text
+   with overlapping repeats the count flavor over-filters, which is why
+   span is the default.
 2. **exact dedup** — keep the smallest-id document per sha256(text).
 3. **line dedup** — C4-style corpus-wide keep-first line removal
    (boilerplate); rewrites the surviving documents' text.
@@ -46,7 +50,7 @@ def curate_corpus(
     *,
     quality_filter: bool = True,
     repetition_filter: bool = True,
-    repetition_flavor: str = "count",
+    repetition_flavor: str = "span",
     languages: list[str] | None = None,
     exact_dedup: bool = True,
     line_dedup: bool = True,
@@ -57,6 +61,9 @@ def curate_corpus(
     lsh_num_hashes: int = 8,
     lsh_k: int = 3,
     lsh_min_shared_bands: int = 2,
+    lsh_hash_flavor: str = "xx64",
+    lsh_shingle: str = "word_hash",
+    lsh_max_bucket: int = 200,
 ) -> tuple[DataFrame, dict]:
     """pages(id, text, ...) → (curated(id, text), per-stage metrics dict).
 
@@ -105,10 +112,10 @@ def curate_corpus(
             q = gopher_quality_filters(df, text_col="_text", id_col="_id")
             keep = q.where("gopher_pass").select(F.col("doc_id").alias("_id"))
         if repetition_filter:
-            # repetition_flavor="span" applies the paper-faithful span-union
-            # dup-gram rule (pass rates comparable to published Gopher
-            # numbers); "count" (default) is the cheaper upper bound — see
-            # the module docstring note
+            # repetition_flavor="span" (default, r5) is the paper-faithful
+            # span-union dup-gram rule (pass rates comparable to published
+            # Gopher numbers); "count" is the cheaper upper bound — see the
+            # module docstring note
             r = gopher_repetition(
                 df,
                 text_col="_text",
@@ -179,8 +186,9 @@ def curate_corpus(
             num_hashes=lsh_num_hashes,
             k=lsh_k,
             min_shared_bands=lsh_min_shared_bands,
-            hash_flavor="xx64",
-            shingle="word_hash",
+            hash_flavor=lsh_hash_flavor,
+            shingle=lsh_shingle,
+            max_bucket=lsh_max_bucket,
         )
         edges = pairs.select(
             F.xxhash64("doc_a").alias("u"), F.xxhash64("doc_b").alias("v")

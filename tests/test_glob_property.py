@@ -117,8 +117,13 @@ def test_auto_engine_selection():
     assert GlobMiner("*k").engine == "fast_star"  # star-first (r4)
     assert GlobMiner("*").engine == "fast_star"  # bare star (r4)
     assert GlobMiner("*[kx]a").engine == "fast_star"  # star-first set rest
-    assert GlobMiner("a*b*c").engine == "exact"  # multi-star
-    assert GlobMiner("*a*").engine == "exact"  # multi-star star-first
+    assert GlobMiner("a*b*c").engine == "exact"  # multi-star, no trailing star
+    assert GlobMiner("*a*").engine == "fast_star"  # multi-star trailing (r5)
+    assert GlobMiner("*i*k*").engine == "fast_star"  # glob.c:269-280 golden
+    assert GlobMiner("a*b*").engine == "fast_star"  # prefix shape (r5)
+    assert GlobMiner("*[ab]*[c-x]*").engine == "fast_star"  # set segments
+    assert GlobMiner("a**").engine == "exact"  # empty mid segment
+    assert GlobMiner("a*b*.").engine == "exact"  # delimiter in segment
     assert GlobMiner("*\\a").engine == "exact"  # escape in rest
     assert GlobMiner("a.b").engine == "exact"  # literal delimiter
     assert GlobMiner("a*.").engine == "exact"  # delimiter in rest
@@ -186,10 +191,11 @@ def test_star_first_scan_equals_naive_walk(text, glob):
     ),
 )
 def test_star_first_multistar_scan_equals_naive_walk(text, glob):
-    """Multi-star star-first patterns stay on the exact machine (r4
-    measured the token-start prefilter ~15% SLOWER for them — no first
-    element to reject candidates); pin that the full scan entrypoint
-    remains walk-identical for this class."""
+    """NON-trailing multi-star star-first patterns (``*A*B``, B non-empty)
+    stay on the exact machine (r4 measured the token-start prefilter ~15%
+    SLOWER for them — no first element to reject candidates; r5 moved only
+    the trailing-star shapes, whose failures provably cannot leak); pin
+    that the full scan entrypoint remains walk-identical for this class."""
     from nativeextractor_spark.miners.glob_exact import (
         _reference_glob_scan_naive,
         reference_glob_scan,
@@ -200,6 +206,60 @@ def test_star_first_multistar_scan_equals_naive_walk(text, glob):
     assert reference_glob_scan(text, glob) == _reference_glob_scan_naive(
         text, glob
     ), f"text={text!r} glob={glob!r}"
+
+
+@st.composite
+def multi_star_trailing_globs(draw):
+    a = draw(st.one_of(st.just(""), starfree_globs()))
+    k = draw(st.integers(1, 3))
+    mids = [draw(starfree_globs()) for _ in range(k)]
+    return a + "*" + "*".join(mids) + "*"
+
+
+@settings(max_examples=400, deadline=None)
+@given(
+    text=st.text(alphabet="abcABC .x-\t?", min_size=0, max_size=45),
+    glob=multi_star_trailing_globs(),
+)
+def test_multi_star_trailing_scan_equals_naive_walk(text, glob):
+    """The r5 vectorized multi-star trailing-star scan (``A*B1*...*`` /
+    ``*B1*...*``) must be span-identical to the literal per-position
+    extractor walk — including failure-advance guards — on arbitrary text
+    over its whole pattern class."""
+    from nativeextractor_spark.miners.glob_exact import (
+        _reference_glob_scan_naive,
+        fast_multi_star_scan,
+        multi_star_trailing_class,
+    )
+
+    if not is_glob(glob) or multi_star_trailing_class(glob) is None:
+        return
+    assert fast_multi_star_scan(text, glob) == _reference_glob_scan_naive(
+        text, glob
+    ), f"text={text!r} glob={glob!r}"
+
+
+def test_multi_star_reference_goldens_on_fast_engine():
+    """The two reference multi-star fixtures now run the vectorized
+    engine (glob.c:269-280, glob.c:299-309) — equal spans on all three."""
+    from nativeextractor_spark.miners.glob_exact import (
+        _reference_glob_scan_naive,
+        fast_multi_star_scan,
+    )
+
+    song = (
+        "Twinkle twinkle little star I want to hit you with a car "
+        "Throw you off a cliff so high Hope you break your neck and die"
+    )
+    mixed = "awliefduzs78bxc dfueilq234zdhiu 2w45ry7uu7748ju8778"
+    for text, glob, n in [
+        (song, "*i*k*", 2),
+        (mixed, "*[abc]*[a-f]*[1-9]*", 1),
+    ]:
+        assert GlobMiner(glob).engine == "fast_star"
+        fast = fast_multi_star_scan(text, glob)
+        assert len(fast) == n
+        assert fast == _reference_glob_scan_naive(text, glob)
 
 
 @settings(max_examples=300, deadline=None)
