@@ -132,9 +132,24 @@ def _warm_workers(spark, cpus: int) -> None:
     a.join(b, "k").where(F.col("v") == F.col("m")).count()
 
 
+def _force(df) -> None:
+    """Materialize EVERY output column via a noop datasource write.
+
+    The r4 bench timed `.count()`, and Catalyst rightly prunes computed
+    columns a count does not need: for projection-shaped operators whose
+    cost lives in their output expressions (gopher repetition metrics,
+    line dedup's rebuilt text, simhash bits, span stats), count() measured
+    only the surviving cardinality skeleton — exposed by the r5 sf1 run,
+    where those rows timed the SAME at 10x the data. The noop write runs
+    the full plan, all columns, no sink cost — what a real downstream
+    consumer pays."""
+    df.write.format("noop").mode("overwrite").save()
+
+
 def _headline(spark, sf: float) -> tuple[dict[str, float], dict[str, float]]:
     """The headline suite; returns (steady-state seconds, cold first-run
-    seconds) per query."""
+    seconds) per query. Every row is forced with :func:`_force` (full
+    materialization — r5 methodology fix)."""
     from pyspark.sql import functions as F
 
     from nativeextractor_spark.kg.canonicalize import canonicalize_surfaces
@@ -165,16 +180,16 @@ def _headline(spark, sf: float) -> tuple[dict[str, float], dict[str, float]]:
         cold[name] = c
         timings[name] = min(c, w)
 
-    timed("occurrences", lambda: extract_occurrences(pages, miners).count())
+    timed("occurrences", lambda: _force(extract_occurrences(pages, miners)))
     # time the triples extraction UNPERSISTED (a persisted df's second
     # count would just read the cache), then persist+fill untimed: the
     # downstream stages consume triples without re-mining (a real
     # pipeline materializes this stage — see StageCheckpoint)
     plain_triples = extract_triples(pages, miners)
-    timed("triples", lambda: plain_triples.count())
+    timed("triples", lambda: _force(plain_triples))
     triples = extract_triples(pages, miners).persist()
     triples.count()
-    timed("triple_weights", lambda: weight_triples(triples).count())
+    timed("triple_weights", lambda: _force(weight_triples(triples)))
     surfaces = (
         triples.where(F.col("subj_type") == "NER")
         .select(F.col("subj").alias("surface"))
@@ -188,20 +203,20 @@ def _headline(spark, sf: float) -> tuple[dict[str, float], dict[str, float]]:
         .coalesce(4 * CPUS)
         .distinct()
     )
-    timed("canonicalize", lambda: canonicalize_surfaces(surfaces).count())
+    timed("canonicalize", lambda: _force(canonicalize_surfaces(surfaces)))
     # the KG stages are done with the cached triples — release the storage
     # memory before the dedup/curation queries contend for heap
     triples.unpersist()
     timed(
         "dedup_lsh_pages",
-        lambda: lsh_duplicate_pairs(
+        lambda: _force(lsh_duplicate_pairs(
             pages.select(F.col("url").alias("doc_id"), "text"),
             num_hashes=4,
             k=3,
             hash_flavor="xx64",
             shingle="word_hash",  # r3 scale flavor: token-hash shingles,
             # no per-shingle string building (7-8x the string flavor)
-        ).count(),
+        )),
     )
     # star-glob scan over the pages table: the r3 fast_star engine (attempt
     # outcomes via C regex calls, guard/leak state closed-form) — 5.3x the
@@ -211,20 +226,20 @@ def _headline(spark, sf: float) -> tuple[dict[str, float], dict[str, float]]:
 
     timed(
         "glob_star_pages",
-        lambda: extract_occurrences(pages, [GlobMiner("s*k")]).count(),
+        lambda: _force(extract_occurrences(pages, [GlobMiner("s*k")])),
     )
     # star-first glob (r4 fast_star_first engine: token-start anchored
     # candidates, one C regex call each — 3.5-4x the naive machine walk)
     timed(
         "glob_star_first_pages",
-        lambda: extract_occurrences(pages, [GlobMiner("*k")]).count(),
+        lambda: _force(extract_occurrences(pages, [GlobMiner("*k")])),
     )
     # multi-star trailing glob (r5 fast_multi_star engine: the reference's
     # '*i*k*' golden class — no-leak failure closed forms, one C regex
     # call per anchored candidate, measured 3.5-4.4x the naive walk)
     timed(
         "glob_multi_star_pages",
-        lambda: extract_occurrences(pages, [GlobMiner("*i*k*")]).count(),
+        lambda: _force(extract_occurrences(pages, [GlobMiner("*i*k*")])),
     )
     # simhash over the full pages table: JVM zero-shuffle projection engine
     # (r3; the r2 Python-md5 kernel measures ~0.9 s here but pays the Arrow
@@ -233,11 +248,11 @@ def _headline(spark, sf: float) -> tuple[dict[str, float], dict[str, float]]:
 
     timed(
         "simhash_pages",
-        lambda: simhash(
+        lambda: _force(simhash(
             pages.select(F.col("url").alias("doc_id"), "text"),
             token_hash="xx64",
             engine="project",
-        ).count(),
+        )),
     )
     # corpus-curation ops over a lines-ified view of the full sf pages
     # table (5-token lines; pages carry no newlines natively)
@@ -253,17 +268,17 @@ def _headline(spark, sf: float) -> tuple[dict[str, float], dict[str, float]]:
             " i -> array_join(slice(split(text, ' '), (i-1)*5+1, 5), ' ')), chr(10))"
         ).alias("text"),
     ).localCheckpoint(eager=True)
-    timed("gopher_repetition", lambda: gopher_repetition(lines_df).count())
+    timed("gopher_repetition", lambda: _force(gopher_repetition(lines_df)))
     # the faithful span-union flavor (r4): one token-offset window + fold
     # interval merge, dup merge filtered to n>=5 — measured at parity
     # with the count flavor
     timed(
         "gopher_repetition_span",
-        lambda: gopher_repetition(
+        lambda: _force(gopher_repetition(
             lines_df, dup_flavor="span", assume_unique=True
-        ).count(),
+        )),
     )
-    timed("line_dedup", lambda: drop_duplicate_lines(lines_df).count())
+    timed("line_dedup", lambda: _force(drop_duplicate_lines(lines_df)))
     # END-TO-END curation pipeline (r5 headline row): Gopher quality +
     # faithful span-repetition filters -> exact dedup -> corpus-wide line
     # dedup -> LSH near dedup -> PII redaction, production flavors
@@ -295,14 +310,14 @@ def _headline(spark, sf: float) -> tuple[dict[str, float], dict[str, float]]:
     ).localCheckpoint(eager=True)
     timed(
         "skew_lsh_capped",
-        lambda: lsh_duplicate_pairs(
+        lambda: _force(lsh_duplicate_pairs(
             skew_df,
             num_hashes=8,
             k=3,
             max_bucket=200,
             hash_flavor="xx64",
             shingle="word_hash",
-        ).count(),
+        )),
     )
     # ExactSubstr-style duplicate-span stats (r4): corpus-wide 8-token
     # gram counts on 8-byte keys, dup-only join build side
@@ -310,18 +325,18 @@ def _headline(spark, sf: float) -> tuple[dict[str, float], dict[str, float]]:
 
     timed(
         "dup_span_stats",
-        lambda: duplicate_span_stats(
+        lambda: _force(duplicate_span_stats(
             pages.select(F.col("url").alias("doc_id"), "text"),
             n_tokens=8,
             assume_unique=True,
-        ).count(),
+        )),
     )
     # these two read the driver-provided sf tables; a synthetic-pages-only
     # sf dir (the sf1 scale-up run uses one) skips them rather than fail
     if os.path.exists(os.path.join(SF_DIR, "lineitem.parquet")):
-        timed("tpch_q1", lambda: QUERIES["tpch_q1"](spark, SF_DIR).count())
+        timed("tpch_q1", lambda: _force(QUERIES["tpch_q1"](spark, SF_DIR)))
     if os.path.exists(os.path.join(SF_DIR, "embeddings.parquet")):
-        timed("ann_topk", lambda: QUERIES["ann_topk"](spark, SF_DIR).count())
+        timed("ann_topk", lambda: _force(QUERIES["ann_topk"](spark, SF_DIR)))
     # regex parity engine over the corpus: the vectorized DFA executor
     # (NumPy batch gathers; 30x the r1 per-char scalar loop) — the two
     # reference regexes from tests/regex_miner.c
@@ -333,7 +348,7 @@ def _headline(spark, sf: float) -> tuple[dict[str, float], dict[str, float]]:
     ]
     timed(
         "regex_dfa_mine",
-        lambda: extract_occurrences(pages, dfa_miners).count(),
+        lambda: _force(extract_occurrences(pages, dfa_miners)),
     )
     return timings, cold
 

@@ -967,8 +967,14 @@ def _ann_ivf_kmeans_oracle_sql() -> str:
         )
     except Exception as e:  # pragma: no cover - sandbox always has sf0.01
         return f"SELECT error('ann_ivf_kmeans oracle needs {sf_dir} parquet: {e}')"
+    # mirror train_ivf_codebook's hash-ordered sample (md5 of the id
+    # string, id tie-break — the r5 unbiased-sample fix): hashlib.md5
+    # reproduces Spark's md5 on the same string bytes
+    import hashlib
+
     rows = sorted(
-        zip(tbl["vec_id"].to_pylist(), tbl["embedding"].to_pylist())
+        zip(tbl["vec_id"].to_pylist(), tbl["embedding"].to_pylist()),
+        key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest(), r[0]),
     )[:4096]
     cents = _oracle_lloyd_kmeans([v for _, v in rows], 8)
     values = ",\n    ".join(
@@ -1127,7 +1133,15 @@ def _ann_recall_clustered_oracle_sql() -> str:
             )
         return "(" + " + ".join(terms) + ")"
 
-    cents = _oracle_lloyd_kmeans([vec for _, vec in rows], 8)
+    # same hash-ordered sample as train_ivf_codebook (r5): with 240
+    # fixture rows the slice keeps everything, but the ORDER still feeds
+    # Lloyd's seeded init and float fold, so it must match exactly
+    import hashlib
+
+    train_rows = sorted(
+        rows, key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest(), r[0])
+    )[:4096]
+    cents = _oracle_lloyd_kmeans([vec for _, vec in train_rows], 8)
     cent_values = ",\n    ".join(
         "({}, [{}]::DOUBLE[], {!r})".format(
             cid, ", ".join(repr(float(x)) for x in cv), _seq_sq_norm(cv)

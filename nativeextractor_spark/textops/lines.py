@@ -66,8 +66,12 @@ def gopher_repetition(
         count * chars(gram) / chars(text). Overlapping occurrences are
         each counted, so this UPPER-BOUNDS the published rule and with
         the paper's thresholds filters somewhat more aggressively
-        (documented in curate_corpus). Cheapest: pure aggregates, no
-        windows (plan-asserted).
+        (documented in curate_corpus). Cheapest — and since r5 a
+        ZERO-SHUFFLE map: every metric (lines included) is computed
+        inside the document's own row via sorted-array folds
+        (:func:`_per_n_local_expr`), no explode, no groupBy, no pivot
+        (plan-asserted). The r4 shape shuffled ~9x the corpus token
+        volume per call.
       * ``"span"`` (r4) — the FAITHFUL Gopher rule (Rae et al. 2021):
         fraction of characters covered by at least one occurrence of a
         duplicated n-gram — the union of the occurrences' character
@@ -85,9 +89,10 @@ def gopher_repetition(
         semantics for duplicate ids.
 
     All fractions are truncated to 6 decimals with the num*1e6/den
-    association. Lines explode once; grams explode the n values first,
-    then each row's own gram list (see the Scale shape note). Returns one
-    row per doc with the metrics, per-rule ``ok_*`` flags, and
+    association. The count flavor computes everything inside the doc's
+    row (zero shuffle, r5); the span flavor explodes the n values first,
+    then each row's own gram list (see _per_n_span). Returns one row per
+    doc with the metrics, per-rule ``ok_*`` flags, and
     ``repetition_pass``.
 
     ``gram_key`` picks the gram identity used for counting (VERDICT r3
@@ -147,63 +152,102 @@ def gopher_repetition(
             "_tlens", F.expr("transform(_toks, t -> length(t))")
         )
 
-    # --- line stats: explode, count per (doc, line) -----------------------
-    line_rows = base.select(
-        "doc_id", "n_chars", F.explode("_lines").alias("line")
-    )
-    line_stats = (
-        line_rows.groupBy("doc_id", "n_chars", "line")
-        .agg(F.count("*").alias("c"))
-        .groupBy("doc_id", "n_chars")
-        .agg(
-            F.sum("c").alias("n_lines"),
-            F.sum(F.col("c") - 1).alias("dup_lines"),
-            F.sum(F.col("c") * F.length("line")).alias("line_chars"),
-            F.sum((F.col("c") - 1) * F.length("line")).alias("dup_line_chars"),
-        )
-    )
-
-    # --- n-gram stats: explode the n VALUES first (9 rows/doc), then each
-    # row builds only ITS n's gram array — peak per-row memory is one gram
-    # list instead of all nine stacked (a 9x reduction that keeps wide web
-    # pages inside executor heap). slice-to-true-length: a doc with fewer
-    # than n tokens has NO n-grams (fraction 0 via the pivot coalesce) —
-    # Spark's sequence(1, 0) counts DOWN, so the padded transform is
-    # trimmed with an outer slice instead.
-    ns = sorted(_TOP_NGRAM_MAX) + sorted(_DUP_NGRAM_MAX)
-    if dup_flavor == "span":
-        per_n = _per_n_span(base, ns, gram_key)
-    else:
-        per_n = _per_n_count(base, ns, gram_key)
-    frac = F.when(
-        F.col("n").isin(list(_TOP_NGRAM_MAX)),
-        _t6(F.col("top_chars"), F.col("n_chars")),
-    ).otherwise(_t6(F.col("dup_chars"), F.col("n_chars")))
-    gram_wide = (
-        per_n.withColumn("_frac", frac)
-        .groupBy("doc_id")
-        .pivot("n", ns)
-        .agg(F.first("_frac"))
-    )
-    cols = [
+    # --- line stats: pure array arithmetic, ZERO shuffle (r5) -------------
+    # The metrics are per-document, so no explode/groupBy is needed at all:
+    # dup counts follow from total-vs-distinct sums (dup_lines = size -
+    # #distinct; dup_line_chars = sum(len) - sum over distinct lines' len).
+    _sumlen = "aggregate({0}, cast(0 as bigint), (a, x) -> a + length(x))"
+    line_stats_cols = [
+        F.size("_lines").alias("n_lines"),
+        (F.size("_lines") - F.size(F.array_distinct("_lines"))).alias(
+            "dup_lines"
+        ),
+        F.expr(_sumlen.format("_lines")).alias("line_chars"),
         (
-            F.coalesce(F.col(str(n)), F.lit(0.0)).alias(
-                f"top{n}gram_char_frac"
-                if n in _TOP_NGRAM_MAX
-                else f"dup{n}gram_char_frac"
-            )
-        )
-        for n in ns
+            F.expr(_sumlen.format("_lines"))
+            - F.expr(_sumlen.format("array_distinct(_lines)"))
+        ).alias("dup_line_chars"),
     ]
 
-    out = line_stats.join(gram_wide, "doc_id", "left").select(
-        "doc_id",
-        _t6(F.col("dup_lines"), F.col("n_lines")).alias("dup_line_frac"),
-        _t6(F.col("dup_line_chars"), F.col("line_chars")).alias(
-            "dup_line_char_frac"
-        ),
-        *cols,
-    )
+    # --- n-gram stats ----------------------------------------------------
+    ns = sorted(_TOP_NGRAM_MAX) + sorted(_DUP_NGRAM_MAX)
+    if dup_flavor == "count":
+        # r5: the count flavor is per-document too — each n's metrics come
+        # from ONE sorted-gram-array fold inside the same projection (see
+        # _per_n_local_expr), so the whole operator is a zero-shuffle,
+        # zero-explode map over the corpus (plan-asserted). The r4
+        # explode + two-level groupBy + pivot + join shape shuffled ~9x
+        # the corpus token volume; identical output (cross-checked row-
+        # for-row and still pinned by the DuckDB oracle).
+        wide = base.select(
+            "doc_id",
+            "n_chars",
+            *line_stats_cols,
+            *[
+                F.expr(_per_n_local_expr(n, gram_key)).alias(f"_m{n}")
+                for n in ns
+            ],
+        )
+        cols = [
+            (
+                _t6(
+                    F.col(f"_m{n}.top.c") * F.col(f"_m{n}.top.glen"),
+                    F.col("n_chars"),
+                ).alias(f"top{n}gram_char_frac")
+                if n in _TOP_NGRAM_MAX
+                else _t6(F.col(f"_m{n}.dup"), F.col("n_chars")).alias(
+                    f"dup{n}gram_char_frac"
+                )
+            )
+            for n in ns
+        ]
+        out = wide.select(
+            "doc_id",
+            _t6(F.col("dup_lines"), F.col("n_lines")).alias("dup_line_frac"),
+            _t6(F.col("dup_line_chars"), F.col("line_chars")).alias(
+                "dup_line_char_frac"
+            ),
+            *cols,
+        )
+    else:
+        # span flavor: gram occurrences need interval merging across the
+        # doc (explode + aggregate shape; see _per_n_span). Explode the n
+        # VALUES first (9 rows/doc), then each row builds only ITS n's
+        # gram array — peak per-row memory is one gram list instead of
+        # all nine stacked. slice-to-true-length: a doc with fewer than n
+        # tokens has NO n-grams (fraction 0 via the pivot coalesce) —
+        # Spark's sequence(1, 0) counts DOWN, so the padded transform is
+        # trimmed with an outer slice instead.
+        line_stats = base.select("doc_id", "n_chars", *line_stats_cols)
+        per_n = _per_n_span(base, ns, gram_key)
+        frac = F.when(
+            F.col("n").isin(list(_TOP_NGRAM_MAX)),
+            _t6(F.col("top_chars"), F.col("n_chars")),
+        ).otherwise(_t6(F.col("dup_chars"), F.col("n_chars")))
+        gram_wide = (
+            per_n.withColumn("_frac", frac)
+            .groupBy("doc_id")
+            .pivot("n", ns)
+            .agg(F.first("_frac"))
+        )
+        cols = [
+            (
+                F.coalesce(F.col(str(n)), F.lit(0.0)).alias(
+                    f"top{n}gram_char_frac"
+                    if n in _TOP_NGRAM_MAX
+                    else f"dup{n}gram_char_frac"
+                )
+            )
+            for n in ns
+        ]
+        out = line_stats.join(gram_wide, "doc_id", "left").select(
+            "doc_id",
+            _t6(F.col("dup_lines"), F.col("n_lines")).alias("dup_line_frac"),
+            _t6(F.col("dup_line_chars"), F.col("line_chars")).alias(
+                "dup_line_char_frac"
+            ),
+            *cols,
+        )
     ok_lines = (F.col("dup_line_frac") <= _DUP_LINE_FRAC_MAX) & (
         F.col("dup_line_char_frac") <= _DUP_LINE_CHAR_FRAC_MAX
     )
@@ -215,67 +259,66 @@ def gopher_repetition(
     return out.withColumn("repetition_pass", ok)
 
 
-def _per_n_count(base: DataFrame, ns: list[int], gram_key: str) -> DataFrame:
-    """(doc_id, n_chars, n, top_chars, dup_chars) under the count-weighted
-    flavor: dup_chars = sum over duplicated grams of count * chars."""
+def _per_n_local_expr(n: int, gram_key: str) -> str:
+    """SQL expression computing one n's count-flavor metrics ENTIRELY
+    inside the row (r5): build the doc's n-gram (key, char-len) structs,
+    ``array_sort`` them, then a single ``aggregate`` fold walks the sorted
+    runs — closing each equal-key run into the running (count, len, key)
+    max (the same deterministic top-gram tie-break the r4 aggregate used)
+    and the duplicated-gram ``sum(count * len)``. Returns
+    ``struct(top struct(c, glen, gk), dup bigint)``.
+
+    Per-doc work is O(G log G) for G n-grams — the sort replaces the r4
+    explode + groupBy, so the operator needs NO shuffle: at corpus scale
+    the old shape shuffled roughly (sum of n) ~ 50x the token volume
+    across the cluster per call; this shape shuffles nothing. Within a
+    same-key run the char length is folded with greatest(), matching the
+    r4 ``max(glen)`` pick under 64-bit gram-hash collisions."""
     if gram_key == "hash":
-        gram_expr = (
-            "slice(transform(sequence(1, greatest(size(_toks) - (n - 1), 1)),"
-            " i -> struct(xxhash64(slice(_toks, i, n)) AS gk,"
-            "            aggregate(slice(_tlens, i, n), 0, (a, x) -> a + x)"
-            "              + (n - 1) AS glen)),"
-            " 1, greatest(size(_toks) - (n - 1), 0))"
+        entry = (
+            f"struct(xxhash64(slice(_toks, i, {n})) AS gk,"
+            f" aggregate(slice(_tlens, i, {n}), 0, (a, x) -> a + x)"
+            f" + {n - 1} AS glen)"
         )
-        key_cols = [F.col("_g.gk").alias("gk"), F.col("_g.glen").alias("glen")]
-        carry = ["_tlens"]
+        null_key = "cast(null as bigint)"
+        glen_of_x = "x.glen"
     else:
-        gram_expr = (
-            "slice(transform(sequence(1, greatest(size(_toks) - (n - 1), 1)),"
-            " i -> array_join(slice(_toks, i, n), ' ')),"
-            " 1, greatest(size(_toks) - (n - 1), 0))"
-        )
-        key_cols = [F.col("_g").alias("gk"), F.length("_g").alias("glen")]
-        carry = []
-    gram_rows = (
-        base.select(
-            "doc_id",
-            "n_chars",
-            "_toks",
-            *carry,
-            F.explode(F.array(*[F.lit(n) for n in ns])).alias("n"),
-        )
-        .select(
-            "doc_id",
-            "n_chars",
-            "n",
-            F.explode(F.expr(gram_expr)).alias("_g"),
-        )
-        .select("doc_id", "n_chars", "n", *key_cols)
+        # string flavor: the gram string IS both the key and (via length)
+        # the char length — one field suffices
+        entry = f"array_join(slice(_toks, i, {n}), ' ') AS gk"
+        entry = f"struct({entry})"
+        null_key = "cast(null as string)"
+        glen_of_x = "length(x.gk)"
+    grams = (
+        f"array_sort(slice(transform(sequence(1, greatest(size(_toks) - {n - 1}, 1)),"
+        f" i -> {entry}),"
+        f" 1, greatest(size(_toks) - {n - 1}, 0)))"
     )
-    # glen is functionally determined by gk (same gram → same length);
-    # max() just picks it deterministically inside the count aggregate
-    gram_counts = gram_rows.groupBy("doc_id", "n_chars", "n", "gk").agg(
-        F.count("*").alias("c"), F.max("glen").alias("glen")
+    cand = "struct(acc.c as c, acc.glen as glen, acc.prev as gk)"
+    close = (
+        f"CASE WHEN acc.prev IS NULL THEN acc.top"
+        f" WHEN {cand} > acc.top THEN {cand} ELSE acc.top END"
     )
-    # top gram per (doc, n): max(struct(count, len, key)) — deterministic
-    # (count desc, char-len desc, key desc) pick as a plain aggregate, no
-    # window; the contribution c*glen depends only on (c, glen), so both
-    # gram-key flavors compute identical fractions
-    per_n = gram_counts.groupBy("doc_id", "n_chars", "n").agg(
-        F.max(F.struct(F.col("c"), F.col("glen"), F.col("gk"))).alias("_top"),
-        F.sum(
-            F.when(F.col("c") > 1, F.col("c") * F.col("glen")).otherwise(
-                F.lit(0)
-            )
-        ).alias("dup_chars"),
-    ).select(
-        "doc_id",
-        "n_chars",
-        "n",
-        (F.col("_top.c") * F.col("_top.glen")).alias("top_chars"),
-        "dup_chars",
+    dupadd = (
+        "acc.dup + CASE WHEN acc.c > 1"
+        " THEN cast(acc.c as bigint) * acc.glen ELSE cast(0 as bigint) END"
     )
-    return per_n
+    init_gk = (
+        "cast(0 as bigint)" if gram_key == "hash" else "cast(null as string)"
+    )
+    return (
+        "aggregate(" + grams + ","
+        f" struct({null_key} as prev, 0 as c, 0 as glen,"
+        f"        struct(0 as c, 0 as glen, {init_gk} as gk) as top,"
+        "        cast(0 as bigint) as dup),"
+        " (acc, x) -> CASE WHEN acc.prev IS NOT NULL AND x.gk = acc.prev"
+        "   THEN struct(acc.prev as prev, acc.c + 1 as c,"
+        f"              greatest(acc.glen, {glen_of_x}) as glen,"
+        "               acc.top as top, acc.dup as dup)"
+        f"   ELSE struct(x.gk as prev, 1 as c, {glen_of_x} as glen,"
+        f"               {close} as top, {dupadd} as dup) END,"
+        f" acc -> struct({close} AS top, {dupadd} AS dup))"
+    )
 
 
 def _per_n_span(base: DataFrame, ns: list[int], gram_key: str) -> DataFrame:

@@ -238,12 +238,21 @@ def train_ivf_codebook(
     seed: int = 42,
 ):
     """IVF codebook via Lloyd iterations over a deterministic driver-side
-    sample (the ``sample`` lowest-id vectors — bounded collect, one small
-    job; at corpus scale this is the standard train-on-sample recipe).
+    sample (bounded collect, one small job; at corpus scale this is the
+    standard train-on-sample recipe).
+
+    The sample is HASH-ordered (md5 of the id string, id tie-break), not
+    lowest-id: ids routinely correlate with content or ingest order, and a
+    lowest-id sample then sees only the corpus head — measured on the r5
+    100k clustered fixture (ids ordered by cluster), the lowest-id sample
+    covered 41 of 1000 planted clusters and capped trained-IVF recall at
+    0.65 where the unbiased sample's codebook should cover them all. md5
+    keeps the sample deterministic AND reproducible by the independent
+    DuckDB/Python oracle (hashlib.md5 == Spark md5 on the same string).
     Returns list[list[float]] centroids with ids 0..k-1."""
     rows = (
         vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-        .orderBy("_id")
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
         .limit(sample)
         .collect()
     )

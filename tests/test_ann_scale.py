@@ -1,0 +1,129 @@
+"""ANN recall at realistic scale (VERDICT r4 next-round #7).
+
+The contract-query fixture (240 vectors, 8 clusters) pins engine parity;
+this suite demonstrates the TUNING CURVE a user acts on at a size where
+bucketing actually prunes: 30k vectors in 100 planted clusters (dim 32).
+The documented 100k/1000-cluster run lives in BENCH/BASELINE.md — same
+generator, same ordering, finer structure.
+
+Also pins the r5 codebook-sample fix: ids correlate with clusters in this
+fixture (vec_id = cluster * per_cluster + i), exactly the adversarial
+layout where the old lowest-id training sample saw only the corpus head
+(14 of 100 clusters here) and capped trained-IVF recall; the hash-ordered
+sample must cover (nearly) all clusters.
+"""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+N_CLUSTERS = 100
+PER_CLUSTER = 300
+DIM = 32
+K = 10
+
+
+@pytest.fixture(scope="module")
+def ann_corpus(spark):
+    from nativeextractor_spark.datagen.embeddings import clustered_embeddings_df
+    from nativeextractor_spark.textops.similarity import cosine_topk_bruteforce
+
+    emb = (
+        clustered_embeddings_df(
+            spark, n_clusters=N_CLUSTERS, per_cluster=PER_CLUSTER, dim=DIM,
+            seed=13,
+        )
+        .repartition(16)
+        .localCheckpoint(eager=True)
+    )
+    queries = emb.where(F.col("vec_id") % (15 * PER_CLUSTER) == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = (
+        cosine_topk_bruteforce(emb, queries, k=K)
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=True)
+    )
+    return emb, queries, exact, exact.count()
+
+
+def _recall(approx, exact, n_exact):
+    return (
+        approx.select("query_id", "vec_id").join(exact, ["query_id", "vec_id"]).count()
+        / n_exact
+    )
+
+
+def test_lsh_tuning_curve_at_30k(spark, ann_corpus):
+    """More bands monotonically buy recall (each band is an independent
+    chance to co-bucket a true neighbor); the tuned setting reaches >=0.9
+    where the single-band setting demonstrates the miss gap."""
+    from nativeextractor_spark.textops.similarity import cosine_topk_lsh
+
+    emb, queries, exact, n_exact = ann_corpus
+    r1 = _recall(
+        cosine_topk_lsh(emb, queries, k=K, n_planes=16, dim=DIM), exact, n_exact
+    )
+    r4 = _recall(
+        cosine_topk_lsh(emb, queries, k=K, n_planes=8, dim=DIM, n_bands=4),
+        exact, n_exact,
+    )
+    rt = _recall(
+        cosine_topk_lsh(emb, queries, k=K, n_planes=6, dim=DIM, n_bands=12),
+        exact, n_exact,
+    )
+    # measured on this seed: 0.115 / 0.585 / 0.97 — assert the shape with
+    # margins, not the exact values
+    assert r1 < 0.3, r1
+    assert r1 < r4 < rt, (r1, r4, rt)
+    assert rt >= 0.9, rt
+
+
+def test_ivf_codebook_sample_covers_clusters(spark, ann_corpus):
+    """The hash-ordered training sample must cover (nearly) all planted
+    clusters; the old lowest-id sample covered 4096/300 = 14 of 100 and
+    was the measured recall ceiling."""
+    from nativeextractor_spark.textops.similarity import train_ivf_codebook
+
+    emb, _, _, _ = ann_corpus
+    ids = [
+        r._id
+        for r in emb.select(F.col("vec_id").alias("_id"))
+        .orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
+        .limit(4096)
+        .collect()
+    ]
+    clusters_covered = len({i // PER_CLUSTER for i in ids})
+    assert clusters_covered >= 95, clusters_covered
+    # the Spark hash ordering equals the oracle-side hashlib.md5 ordering
+    # (the contract's independence hinges on this)
+    sample = sorted(
+        range(N_CLUSTERS * PER_CLUSTER),
+        key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i),
+    )[:4096]
+    assert ids == sample
+    cents = train_ivf_codebook(emb, n_centroids=64)
+    assert len(cents) == 64 and len(cents[0]) == DIM
+
+
+def test_ivf_recall_at_30k(spark, ann_corpus):
+    """Trained IVF with an unbiased sample: recall well above the biased
+    ceiling, improving with probe width."""
+    from nativeextractor_spark.textops.similarity import cosine_topk_ivf
+
+    emb, queries, exact, n_exact = ann_corpus
+    r_narrow = _recall(
+        cosine_topk_ivf(
+            emb, queries, k=K, n_centroids=64, nprobe=1, codebook="kmeans"
+        ),
+        exact, n_exact,
+    )
+    r_wide = _recall(
+        cosine_topk_ivf(
+            emb, queries, k=K, n_centroids=64, nprobe=8, codebook="kmeans"
+        ),
+        exact, n_exact,
+    )
+    assert r_wide >= r_narrow, (r_narrow, r_wide)
+    assert r_wide >= 0.8, (r_narrow, r_wide)

@@ -145,9 +145,11 @@ def test_ivf_kmeans_matches_seed_plan_shape(spark):
     assert df.count() > 0
 
 
-def test_gopher_repetition_plan_no_windows_partial_agg(spark):
-    """The repetition metrics must stay pure aggregates: no Window operator
-    (top-gram is a max(struct) aggregate), partial aggregation present."""
+def test_gopher_repetition_plan_zero_shuffle(spark):
+    """r5: the count flavor computes every metric inside the document's
+    own row (sorted-array folds) — no Window, no Exchange, no explode; at
+    corpus scale the r4 explode+groupBy shape shuffled ~9x the token
+    volume per call."""
     from nativeextractor_spark.textops.lines import gopher_repetition
 
     df = spark.createDataFrame(
@@ -156,7 +158,8 @@ def test_gopher_repetition_plan_no_windows_partial_agg(spark):
     )
     plan = _plan(gopher_repetition(df))
     assert "Window" not in plan, plan
-    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan, plan  # no explode survives
 
 
 def test_line_dedup_single_line_shuffle(spark):
