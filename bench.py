@@ -353,6 +353,22 @@ def _headline(spark, sf: float) -> tuple[dict[str, float], dict[str, float]]:
     return timings, cold
 
 
+def _drain_python_workers(timeout_s: int = 180) -> None:
+    """Block until no pyspark.daemon worker processes remain (or timeout).
+
+    A stopped SparkSession's straggler tasks can keep their Python
+    workers alive for minutes; any timing measurement started meanwhile
+    (the scaling pairs) runs against a contended box."""
+    t0 = time.time()
+    while time.time() - t0 < timeout_s:
+        r = subprocess.run(
+            ["pgrep", "-f", "pyspark.daemon"], capture_output=True
+        )
+        if r.returncode != 0:
+            return
+        time.sleep(2)
+
+
 def _has_taskset() -> bool:
     import shutil
 
@@ -551,6 +567,14 @@ def _write_baseline_md(sf: float, timings: dict, scaling: dict, n_pages: int):
         "",
         "## Headline timings (local[{}])".format(CPUS),
         "",
+        "Methodology v2 (r5): every row is forced through a noop datasource",
+        "write (FULL materialization of every output column) — r4 and earlier",
+        "timed `.count()`, which let Catalyst prune computed columns of",
+        "projection-shaped operators (gopher metrics, line-dedup text, span",
+        "stats), under-measuring those rows by up to ~7x. Steady-state",
+        "min-of-2 per row; cold first runs ride along in the bench JSON.",
+        "r5-vs-r4 comparisons are only valid within the same methodology.",
+        "",
         "| query | sec |",
         "| --- | --- |",
     ]
@@ -620,6 +644,7 @@ def main() -> None:
         spark = _mk_spark()
         _ensure_scale_pages(spark)
         spark.stop()
+        _drain_python_workers()
         print(json.dumps(_run_scaling(sf)))
         return
     spark = _mk_spark()
@@ -642,6 +667,11 @@ def main() -> None:
     }
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":
         spark.stop()
+        # spark.stop() can return while straggler tasks' Python workers
+        # are still burning cores (measured: a lingering redact stage
+        # wrecked the r5 pair measurement to 0.47) — drain them before
+        # timing the pinned executors
+        _drain_python_workers()
         scaling = _run_scaling(sf)
         result.update(scaling)
         _write_baseline_md(sf, timings, scaling, n_pages)
