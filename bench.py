@@ -657,6 +657,11 @@ def main() -> None:
         "metric": "kg_pipeline_headline_total",
         "value": total,
         "unit": "sec",
+        # r5: rows are forced through a noop write (FULL materialization);
+        # r4-and-earlier .count() rows under-measured projection-shaped
+        # operators by up to ~7x — cross-round value comparisons are only
+        # valid within the same methodology (see BENCH/BASELINE.md)
+        "methodology": "v2-full-materialization",
         "queries": timings,
         "queries_cold_first_run": cold,
         "wall_secs_incl_cold_runs": wall,
