@@ -61,6 +61,34 @@ def _shingle_expr(text_col: str, k: int, shingle: str = "char"):
     raise ValueError(f"unknown shingle flavor {shingle!r}")
 
 
+def _shingle_arrays(
+    df: DataFrame, text_col: str, id_col: str, k: int, shingle: str
+) -> DataFrame:
+    """(doc_id, shingles) for every shingle flavor. ``word_hash`` (the
+    fastest scale flavor, r3) identifies a shingle by an xxhash64 combine
+    of its k member TOKEN HASHES instead of a built k-token string — no
+    per-shingle slice+join allocations, measured 7-8x faster than the
+    string flavor on the 50k-page table. Shared by :func:`minhash_bands`
+    and the exact-Jaccard pair verification (r5)."""
+    if shingle == "word_hash":
+        toks = f"filter(split(lower({text_col}), '\\\\s+'), t -> t <> '')"
+        combine = ", ".join(f"try_element_at(_th, i + {j})" for j in range(k))
+        return df.select(
+            F.col(id_col).alias("doc_id"),
+            F.expr(f"transform({toks}, t -> xxhash64(t))").alias("_th"),
+        ).select(
+            "doc_id",
+            F.expr(
+                f"transform(sequence(1, greatest(size(_th) - {k - 1}, 1)),"
+                f" i -> xxhash64({combine}))"
+            ).alias("shingles"),
+        )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        _shingle_expr(text_col, k, shingle).alias("shingles"),
+    )
+
+
 def minhash_bands(
     df: DataFrame,
     text_col: str = "text",
@@ -87,31 +115,10 @@ def minhash_bands(
         hash_fn = lambda s: F.xxhash64(F.col("band"), s)
     else:
         raise ValueError(f"unknown hash_flavor {hash_flavor!r}")
-    if shingle == "word_hash":
-        # fastest scale flavor: shingle identity = xxhash64 over the k
-        # member TOKEN HASHES instead of a built k-token string — skips
-        # the per-shingle slice+join allocations, measured 7-8x faster
-        # than the string flavor on the 50k-page table. Long-typed
-        # shingles require the xx64 band hash.
-        if hash_flavor != "xx64":
-            raise ValueError("shingle='word_hash' requires hash_flavor='xx64'")
-        toks = f"filter(split(lower({text_col}), '\\\\s+'), t -> t <> '')"
-        combine = ", ".join(f"try_element_at(_th, i + {j})" for j in range(k))
-        base = df.select(
-            F.col(id_col).alias("doc_id"),
-            F.expr(f"transform({toks}, t -> xxhash64(t))").alias("_th"),
-        ).select(
-            "doc_id",
-            F.expr(
-                f"transform(sequence(1, greatest(size(_th) - {k - 1}, 1)),"
-                f" i -> xxhash64({combine}))"
-            ).alias("shingles"),
-        )
-    else:
-        base = df.select(
-            F.col(id_col).alias("doc_id"),
-            _shingle_expr(text_col, k, shingle).alias("shingles"),
-        )
+    if shingle == "word_hash" and hash_flavor != "xx64":
+        # long-typed shingles require the xx64 band hash
+        raise ValueError("shingle='word_hash' requires hash_flavor='xx64'")
+    base = _shingle_arrays(df, text_col, id_col, k, shingle)
     # NOTE the explode-then-hash shape is deliberate: the GenerateExec
     # materializes the shingle array once per document and the per-band rows
     # reference it. Computing all band minhashes in one projection reads
@@ -137,10 +144,15 @@ def lsh_duplicate_pairs(
     max_bucket: int = 200,
     hash_flavor: str = "md5",
     shingle: str = "char",
+    verify_jaccard: float | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs: docs sharing ≥ min_shared_bands LSH
     buckets. Oversized buckets are dropped (bounded skew). Returns
-    (doc_a, doc_b, shared_bands)."""
+    (doc_a, doc_b, shared_bands); with ``verify_jaccard`` set, each
+    candidate pair is additionally verified against the exact shingle-set
+    Jaccard (same flavor the minhashes sampled) and the output gains a
+    ``jaccard`` column — the defense against transitive CC chaining of
+    borderline band collisions at corpus scale (see the inline note)."""
     # materialize the (small: num_hashes rows/doc) band table once — the
     # bucket sizing, the bounded join, and BOTH self-join sides consume it;
     # without truncation each re-runs the full shingling/minhash scan
@@ -153,12 +165,50 @@ def lsh_duplicate_pairs(
     )
     a = bounded.select("band", "min_hash", F.col("doc_id").alias("doc_a"))
     b = bounded.select("band", "min_hash", F.col("doc_id").alias("doc_b"))
-    return (
+    pairs = (
         a.join(b, ["band", "min_hash"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("shared_bands"))
         .where(F.col("shared_bands") >= min_shared_bands)
+    )
+    if verify_jaccard is None:
+        return pairs
+    # r5: exact-Jaccard verification of the candidate pairs (the same
+    # pattern canonicalize_surfaces always used). Shared-band counting is
+    # probabilistic — at corpus scale, borderline band collisions between
+    # genuinely-distinct documents chain transitively through connected
+    # components and keep-min then removes whole chained clusters
+    # (measured: 36% of distinct synthetic pages dropped at sf1 under the
+    # defaults, BENCH/BASELINE.md). Verification computes true Jaccard
+    # over the SAME shingle sets the minhashes sampled and keeps only
+    # pairs >= the threshold — per-pair exact set intersection on the
+    # (already bucket-capped) candidate set, never all-pairs. Output
+    # gains a ``jaccard`` column (rounded to 6 decimals).
+    sets = (
+        _shingle_arrays(df, text_col, id_col, k, shingle)
+        .select("doc_id", F.array_distinct("shingles").alias("_sh"))
+        .transform(stage("dedup"))
+    )
+    verified = (
+        pairs.join(
+            sets.select(F.col("doc_id").alias("doc_a"), F.col("_sh").alias("_sa")),
+            "doc_a",
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("doc_b"), F.col("_sh").alias("_sb")),
+            "doc_b",
+        )
+    )
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    union = F.size("_sa") + F.size("_sb") - inter
+    jac = F.when(union == 0, F.lit(1.0)).otherwise(
+        inter.cast("double") / union
+    )
+    return (
+        verified.withColumn("jaccard", F.round(jac, 6))
+        .where(F.col("jaccard") >= verify_jaccard)
+        .select("doc_a", "doc_b", "shared_bands", "jaccard")
     )
 
 

@@ -64,6 +64,7 @@ def curate_corpus(
     lsh_hash_flavor: str = "xx64",
     lsh_shingle: str = "word_hash",
     lsh_max_bucket: int = 200,
+    lsh_verify_jaccard: float | None = None,
 ) -> tuple[DataFrame, dict]:
     """pages(id, text, ...) → (curated(id, text), per-stage metrics dict).
 
@@ -189,6 +190,14 @@ def curate_corpus(
             hash_flavor=lsh_hash_flavor,
             shingle=lsh_shingle,
             max_bucket=lsh_max_bucket,
+            # r5: exact-Jaccard pair verification (opt-in) — shared-band
+            # counting alone lets borderline collisions between distinct
+            # docs chain transitively through CC at corpus scale
+            # (measured 36% over-drop at sf1, BENCH/BASELINE.md); set
+            # e.g. 0.7 to keep only true near-duplicate edges. Default
+            # None preserves the r4-contract behavior; flipping the
+            # default is queued for r6 with the oracle update.
+            verify_jaccard=lsh_verify_jaccard,
         )
         edges = pairs.select(
             F.xxhash64("doc_a").alias("u"), F.xxhash64("doc_b").alias("v")

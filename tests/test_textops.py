@@ -899,3 +899,76 @@ def test_curate_corpus_duplicate_ids_do_not_multiply(spark):
     assert len(rows) == len({r.url for r in rows}) == 2
     # deterministic pick: min text per id
     assert {r.url: r.text for r in rows}["a"] == min(good(1), good(2))
+
+
+def test_lsh_verify_jaccard_filters_borderline_pairs(spark):
+    """r5: exact-Jaccard verification keeps true near-duplicates and
+    drops borderline band collisions — the edges that chain distinct
+    docs through connected components at corpus scale (measured 36%
+    over-drop at sf1 without it)."""
+    from nativeextractor_spark.textops.dedup import lsh_duplicate_pairs
+
+    shared = " ".join(f"t{i}" for i in range(40))
+    a = shared + " " + " ".join(f"a{i}" for i in range(10))
+    b = shared + " " + " ".join(f"b{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [("A", a), ("B", b), ("C", a + " extra")],
+        "doc_id string, text string",
+    )
+    kw = dict(
+        num_hashes=8,
+        k=3,
+        min_shared_bands=1,
+        hash_flavor="xx64",
+        shingle="word_hash",
+    )
+    plain = {
+        (r.doc_a, r.doc_b) for r in lsh_duplicate_pairs(docs, **kw).collect()
+    }
+    # the ~0.65-Jaccard pair (A, B) collides on at least one band —
+    # exactly the borderline edge CC would chain
+    assert {("A", "B"), ("A", "C")} <= plain, plain
+    rows = lsh_duplicate_pairs(docs, verify_jaccard=0.8, **kw).collect()
+    verified = {(r.doc_a, r.doc_b): r.jaccard for r in rows}
+    assert ("A", "B") not in verified, verified
+    assert verified[("A", "C")] >= 0.8
+    # looser threshold keeps the borderline edge, with its true jaccard
+    loose = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in lsh_duplicate_pairs(docs, verify_jaccard=0.5, **kw).collect()
+    }
+    assert 0.5 <= loose[("A", "B")] < 0.8
+
+
+def test_curate_corpus_verify_jaccard_passthrough(spark):
+    """The pipeline's near-dedup drops only VERIFIED near-duplicates when
+    lsh_verify_jaccard is set: a half-overlapping (distinct) doc survives
+    that the unverified defaults would chain away."""
+    from nativeextractor_spark.textops.pipeline import curate_corpus
+
+    def good(extra):
+        body = " ".join(f"w{i}" for i in range(50))
+        return body + " " + extra + " the and that have done"
+
+    shared = good("")
+    rows = [
+        ("a", shared),
+        ("b", shared + " tail tail2"),  # true near-dup of a
+        ("c", " ".join(f"w{i}" for i in range(25))
+              + " " + " ".join(f"z{i}" for i in range(25))
+              + " the and that have done"),  # half-overlap: distinct
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    out, _ = curate_corpus(
+        df,
+        quality_filter=False,
+        repetition_filter=False,
+        line_dedup=False,
+        redact=False,
+        lsh_num_hashes=8,
+        lsh_k=3,
+        lsh_min_shared_bands=1,
+        lsh_verify_jaccard=0.8,
+    )
+    got = {r.url for r in out.collect()}
+    assert got == {"a", "c"}, got
