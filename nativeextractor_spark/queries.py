@@ -1800,6 +1800,14 @@ def _curate(spark, sf_dir):
         lsh_min_shared_bands=5,
         lsh_hash_flavor="md5",
         lsh_shingle="char",
+        # exact-Jaccard verification (the r6 production default) at a
+        # threshold matched to this fixture's shingle flavor: the planted
+        # near-duplicates measure 0.649-0.724 char-5 Jaccard (the ' zq'
+        # per-line suffix churns ~1/3 of the 5-char windows), so the
+        # word-shingle production default 0.7 would let most of the
+        # planted class survive; 0.6 keeps the class caught while still
+        # exercising the verification join end-to-end
+        lsh_verify_jaccard=0.6,
         # redaction has its own contract query (redact_pii); the corpus
         # here is plain lowercase words, so it would be a no-op pass
         redact=False,
@@ -1934,9 +1942,18 @@ bnd AS (SELECT id, band, list_min(list_transform(shingles,
         FROM (SELECT id, unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS band, shingles FROM sh3)),
 bsz AS (SELECT band, min_hash FROM bnd GROUP BY band, min_hash HAVING count(*) <= 200),
 bb AS (SELECT bnd.* FROM bnd JOIN bsz USING (band, min_hash)),
-prs AS (SELECT a.id AS ia, b.id AS ib FROM bb a JOIN bb b
+prs0 AS (SELECT a.id AS ia, b.id AS ib FROM bb a JOIN bb b
           ON a.band = b.band AND a.min_hash = b.min_hash AND a.id < b.id
         GROUP BY a.id, b.id HAVING count(*) >= 5),
+shd AS (SELECT id, list_distinct(shingles) AS ds FROM sh3),
+prs AS (SELECT ia, ib FROM prs0
+        JOIN shd sa ON sa.id = prs0.ia
+        JOIN shd sb ON sb.id = prs0.ib
+        WHERE (CASE WHEN len(sa.ds) + len(sb.ds) - len(list_intersect(sa.ds, sb.ds)) = 0
+                    THEN 1.0
+                    ELSE len(list_intersect(sa.ds, sb.ds)) * 1.0 /
+                         (len(sa.ds) + len(sb.ds) - len(list_intersect(sa.ds, sb.ds))) END)
+              >= 0.6),
 sym AS (SELECT ia AS u, ib AS v FROM prs UNION SELECT ib, ia FROM prs),
 reach(node, rt) AS (
   SELECT id, id FROM f3

@@ -205,9 +205,13 @@ def lsh_duplicate_pairs(
     jac = F.when(union == 0, F.lit(1.0)).otherwise(
         inter.cast("double") / union
     )
+    # threshold on the UNROUNDED jaccard (the rounding is presentation
+    # only): both engines then compare the identical IEEE double
+    # (double)inter / (double)union, with no round-mode edge at the
+    # threshold boundary — the DuckDB oracle mirrors this order (r6)
     return (
-        verified.withColumn("jaccard", F.round(jac, 6))
-        .where(F.col("jaccard") >= verify_jaccard)
+        verified.where(jac >= verify_jaccard)
+        .withColumn("jaccard", F.round(jac, 6))
         .select("doc_a", "doc_b", "shared_bands", "jaccard")
     )
 

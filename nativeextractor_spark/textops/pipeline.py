@@ -24,7 +24,10 @@ Composes the curation operators in the standard web-corpus order
    token n-gram runs are spliced out even when neither whole documents
    nor whole lines repeat.
 4. **near dedup** — MinHash-LSH candidate pairs (token-hash shingles, the
-   scale flavor) → connected components over the pair graph → keep the
+   scale flavor), each pair verified against the exact shingle-set
+   Jaccard (default ≥ 0.7, r6 — raw band counting alone chains
+   borderline collisions through CC and over-deletes at corpus scale)
+   → connected components over the verified pair graph → keep the
    min-id document per near-duplicate cluster. Reuses the KG stage's
    size-adaptive CC operator.
 5. **redact** — PII spans (email/URL/telephone miners) replaced by typed
@@ -64,7 +67,7 @@ def curate_corpus(
     lsh_hash_flavor: str = "xx64",
     lsh_shingle: str = "word_hash",
     lsh_max_bucket: int = 200,
-    lsh_verify_jaccard: float | None = None,
+    lsh_verify_jaccard: float | None = 0.7,
 ) -> tuple[DataFrame, dict]:
     """pages(id, text, ...) → (curated(id, text), per-stage metrics dict).
 
@@ -190,13 +193,14 @@ def curate_corpus(
             hash_flavor=lsh_hash_flavor,
             shingle=lsh_shingle,
             max_bucket=lsh_max_bucket,
-            # r5: exact-Jaccard pair verification (opt-in) — shared-band
-            # counting alone lets borderline collisions between distinct
-            # docs chain transitively through CC at corpus scale
-            # (measured 36% over-drop at sf1, BENCH/BASELINE.md); set
-            # e.g. 0.7 to keep only true near-duplicate edges. Default
-            # None preserves the r4-contract behavior; flipping the
-            # default is queued for r6 with the oracle update.
+            # exact-Jaccard pair verification, ON by default since r6
+            # (threshold 0.7, the standard MinHash-dedup operating point):
+            # shared-band counting alone lets borderline collisions
+            # between genuinely-distinct docs chain transitively through
+            # CC at corpus scale — measured 36% of distinct synthetic
+            # pages over-dropped at sf1 under the unverified r5 defaults
+            # (BENCH/BASELINE.md). Set None to restore the raw
+            # band-counting edges (the r4/r5 behavior).
             verify_jaccard=lsh_verify_jaccard,
         )
         edges = pairs.select(

@@ -972,3 +972,56 @@ def test_curate_corpus_verify_jaccard_passthrough(spark):
     )
     got = {r.url for r in out.collect()}
     assert got == {"a", "c"}, got
+
+
+def test_curate_corpus_default_verifies_borderline_chain(spark):
+    """r6: the PRODUCTION defaults no longer chain borderline band
+    collisions — a planted chain of half-overlapping DISTINCT docs
+    (a~m1~m2~b, each link ~0.5 word-3 Jaccard, end-to-end nothing
+    shared) all survive, while a true near-duplicate still collapses.
+    Under the unverified r5 defaults CC chained the whole borderline
+    component and keep-min deleted all but one (the 36%-over-drop
+    mechanism measured at sf1)."""
+    from nativeextractor_spark.textops.pipeline import curate_corpus
+
+    # four docs, consecutive halves overlapping: w0..w49 | w25..w74 |
+    # w50..w99 | w75..w124 — adjacent Jaccard ~0.4-0.5 (borderline),
+    # non-adjacent near-zero; plus a TRUE near-dup of the first doc
+    def words(lo, hi):
+        return " ".join(f"w{i}" for i in range(lo, hi))
+
+    rows = [
+        ("a", words(0, 50)),
+        ("m1", words(25, 75)),
+        ("m2", words(50, 100)),
+        ("b", words(75, 125)),
+        ("a_dup", words(0, 50) + " tail"),  # true near-dup of a
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    out, metrics = curate_corpus(
+        df,
+        quality_filter=False,
+        repetition_filter=False,
+        line_dedup=False,
+        redact=False,
+        # min_shared_bands=1 makes every borderline link a candidate
+        # edge — the worst case the default verification must defuse
+        lsh_min_shared_bands=1,
+    )
+    got = {r.url for r in out.collect()}
+    # all four distinct docs survive; the true near-dup collapses into a
+    assert got == {"a", "m1", "m2", "b"}, got
+    assert metrics["after_near_dedup"] == 4
+    # control: switching verification OFF (the r5 behavior) chains the
+    # borderline component away — proving the default is what saves it
+    out_raw, _ = curate_corpus(
+        df,
+        quality_filter=False,
+        repetition_filter=False,
+        line_dedup=False,
+        redact=False,
+        lsh_min_shared_bands=1,
+        lsh_verify_jaccard=None,
+    )
+    got_raw = {r.url for r in out_raw.collect()}
+    assert len(got_raw) < 4, got_raw
