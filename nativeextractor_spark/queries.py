@@ -1322,6 +1322,42 @@ LEFT JOIN h ON h.method = m.method AND h.query_id = q.query_id
 """
 
 
+def q_ann_recall_all(spark, sf_dir):
+    """Union of BOTH recall scenarios under one contract row (r6): the
+    driver's correctness runner caps at 50 registry entries, and r5's
+    51st entry (multimodal_features) silently fell off the run — merging
+    the two recall queries (identical schemas, disjoint scenarios)
+    restores the 1:1 registry↔driver match without losing evidence.
+    ``scenario='embeddings'`` is the sf parquet table (methods lsh / ivf
+    / ivf_kmeans); ``scenario='clustered'`` is the deterministic planted-
+    cluster fixture (methods lsh1 / lsh4 / lsh_tuned / ivf_kmeans)."""
+    a = q_ann_recall(spark, sf_dir).select(
+        F.lit("embeddings").alias("scenario"),
+        "method",
+        "query_id",
+        "hits",
+        "recall_at_k",
+    )
+    b = q_ann_recall_clustered(spark, sf_dir).select(
+        F.lit("clustered").alias("scenario"),
+        "method",
+        "query_id",
+        "hits",
+        "recall_at_k",
+    )
+    return a.unionByName(b)
+
+
+def _ann_recall_all_oracle_sql() -> str:
+    return f"""
+SELECT 'embeddings' AS scenario, method, query_id, hits, recall_at_k
+FROM ({_ann_recall_oracle_sql()})
+UNION ALL
+SELECT 'clustered' AS scenario, method, query_id, hits, recall_at_k
+FROM ({_ann_recall_clustered_oracle_sql()})
+"""
+
+
 def q_embedding_dup_pairs(spark, sf_dir):
     from nativeextractor_spark.textops.similarity import embedding_duplicate_pairs
 
@@ -2354,7 +2390,6 @@ QUERIES = {
     "glob_star_sk": q_glob_star_sk,
     "glob_star_first": q_glob_star_first,
     "glob_multi_star": q_glob_multi_star,
-    "ann_recall_clustered": q_ann_recall_clustered,
     "ner_prefix_match": q_ner_prefix_match,
     "fixture_entities": q_fixture_entities,
     "fixture_glob_counts": q_fixture_glob_counts,
@@ -2378,7 +2413,7 @@ QUERIES = {
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "ann_ivf_kmeans": q_ann_ivf_kmeans,
-    "ann_recall": q_ann_recall,
+    "ann_recall": q_ann_recall_all,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "lang_id": q_lang_id,
     "quality": q_quality,
@@ -2453,8 +2488,7 @@ def build_oracles() -> dict[str, str]:
         "ann_lsh": O_ANN_LSH,
         "ann_ivf": O_ANN_IVF,
         "ann_ivf_kmeans": _ann_ivf_kmeans_oracle_sql(),
-        "ann_recall": _ann_recall_oracle_sql(),
-        "ann_recall_clustered": _ann_recall_clustered_oracle_sql(),
+        "ann_recall": _ann_recall_all_oracle_sql(),
         "embedding_dup_pairs": O_EMBEDDING_DUP_PAIRS,
         "multimodal_features": O_MULTIMODAL_FEATURES,
     }
