@@ -80,18 +80,29 @@ def merge_into(
     path: str,
     keys: list[str],
     n_buckets: int = N_BUCKETS,
+    bucket_cols: list[str] | None = None,
 ) -> None:
     """Idempotent upsert of ``df`` into a parquet table at ``path``.
 
-    Partitioned by ``_bucket = pmod(xxhash64(keys...), n_buckets)``. Only the
-    buckets present in ``df`` are rewritten: existing rows in those buckets
-    that don't collide on the natural key are kept (anti-join), then the
-    union overwrites those partitions dynamically. With an Iceberg catalog
-    this becomes ``MERGE INTO`` (same keys). Table listing goes through the
-    Hadoop FileSystem API, so ``path`` may be file:/hdfs:/s3a:/... .
+    Partitioned by ``_bucket = pmod(xxhash64(bucket_cols...), n_buckets)``
+    (``bucket_cols`` defaults to ``keys``). Only the buckets present in
+    ``df`` are rewritten: existing rows in those buckets that don't collide
+    on the natural key are kept (anti-join), then the union overwrites
+    those partitions dynamically. With an Iceberg catalog this becomes
+    ``MERGE INTO`` (same keys). Table listing goes through the Hadoop
+    FileSystem API, so ``path`` may be file:/hdfs:/s3a:/... .
+
+    Passing non-key ``bucket_cols`` makes reads PRUNABLE on those columns
+    (read only the ``_bucket=`` dirs a probe's bucket values hash to),
+    with one precondition: a row re-merged under the same key must carry
+    the SAME bucket_cols values — otherwise its previous copy sits in a
+    partition this merge never reads and survives as a stale duplicate.
+    (The streaming band-state table satisfies this: a replayed batch
+    recomputes byte-identical rows from the same source offsets.)
     """
     spark = df.sparkSession
-    bucket = F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).cast("int")
+    bcols = bucket_cols or keys
+    bucket = F.pmod(F.xxhash64(*bcols), F.lit(n_buckets)).cast("int")
     new = df.withColumn("_bucket", bucket)
     on_disk = _bucket_dirs(spark, path)
     if on_disk:
@@ -103,7 +114,7 @@ def merge_into(
                 .parquet(*[f"{path}/_bucket={b}" for b in readable])
                 .withColumn(
                     "_bucket",
-                    F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).cast("int"),
+                    F.pmod(F.xxhash64(*bcols), F.lit(n_buckets)).cast("int"),
                 )
             )
             keep = old.join(new.select(*keys).distinct(), keys, "left_anti")

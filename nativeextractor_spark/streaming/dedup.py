@@ -39,24 +39,197 @@ BAND_STATE_SCHEMA = T.StructType(
     ]
 )
 
+#: The current on-disk layout of the band-state table, version-stamped in
+#: a ``_ne_state_layout.json`` marker inside the table directory (ADVICE
+#: r5 medium: an un-stamped layout change silently loses state — merge
+#: touched-bucket reads + dynamic partition overwrite assume every
+#: existing row sits in the partition the CURRENT key hash says it does).
+#: History: v1 (r4) keyed (doc_id, band), no batch stamp; v2 (r5) keyed
+#: (doc_id, band, batch_id), bucketed by the identity keys; v3 (r6) same
+#: keys, bucketed by (band, min_hash) so per-batch state reads prune to
+#: the micro-batch's buckets instead of scanning the whole table.
+BAND_STATE_LAYOUT = {
+    "version": 3,
+    "keys": ["doc_id", "band", "batch_id"],
+    "bucket_cols": ["band", "min_hash"],
+}
+_LAYOUT_FILE = "_ne_state_layout.json"
+#: suffixes a crash inside a table swap/migration can leave behind
+_SWAP_SUFFIXES = (".compact", ".migrate", ".old")
 
-def _read_band_state(spark: SparkSession, state_path: str) -> DataFrame | None:
+
+def _layout_path(state_path: str) -> str:
+    return state_path.rstrip("/") + "/" + _LAYOUT_FILE
+
+
+def _read_layout(spark: SparkSession, state_path: str) -> dict | None:
+    import json
+
+    from nativeextractor_spark.kg.graph import _fs_read_text
+
+    raw = _fs_read_text(spark, _layout_path(state_path))
+    return None if raw is None else json.loads(raw)
+
+
+def _stamp_layout(spark: SparkSession, state_path: str) -> None:
+    import json
+
+    from nativeextractor_spark.kg.graph import _fs_write_text
+
+    _fs_write_text(spark, _layout_path(state_path), json.dumps(BAND_STATE_LAYOUT))
+
+
+def _swap_state_table(spark: SparkSession, state_path: str, tmp_path: str) -> None:
+    """Replace the live table with ``tmp_path`` via rename-ASIDE (ADVICE
+    r5: delete-then-rename left a window where the live path was simply
+    absent — which :func:`_read_band_state` would classify as
+    never-written, silently restarting dedup from empty state). Order:
+    live → ``.old``, tmp → live, delete ``.old``. A crash at any point
+    leaves either the live table intact or a DETECTABLE leftover that
+    makes reads raise instead of misclassifying."""
+    from nativeextractor_spark.kg.graph import _hadoop_fs
+
+    old_path = state_path.rstrip("/") + ".old"
+    fs, jstate = _hadoop_fs(spark, state_path)
+    _, jold = _hadoop_fs(spark, old_path)
+    _, jtmp = _hadoop_fs(spark, tmp_path)
+    if fs.exists(jold):
+        # leftover of a crash AFTER the tmp→live rename (the live table
+        # exists, or the caller's read would have raised already)
+        fs.delete(jold, True)
+    if not fs.rename(jstate, jold):
+        raise IOError(f"rename {state_path} -> {old_path} failed")
+    if not fs.rename(jtmp, jstate):
+        raise IOError(
+            f"rename {tmp_path} -> {state_path} failed; previous state "
+            f"preserved at {old_path} — rename it back to recover"
+        )
+    fs.delete(jold, True)
+
+
+def _ensure_band_state_layout(spark: SparkSession, state_path: str) -> None:
+    """Detect a band-state table written under an OLDER layout and migrate
+    it before any merge touches it. Without this, the first merge under
+    new keys/buckets re-reads only the buckets the NEW hash says are
+    touched and dynamic partition overwrite rewrites partitions holding
+    unread old-layout rows — silently deleting dedup state on upgrade."""
+    from nativeextractor_spark.kg.graph import _fs_exists
+
+    if not _fs_exists(spark, state_path):
+        return
+    if _read_layout(spark, state_path) == BAND_STATE_LAYOUT:
+        return
+    migrate_band_state(spark, state_path)
+
+
+def migrate_band_state(spark: SparkSession, state_path: str) -> dict:
+    """One-time full read-and-rewrite of a band-state table into the
+    current :data:`BAND_STATE_LAYOUT`. Handles every prior layout: a v1
+    (r4) table gains ``batch_id = -1`` (always older than any real batch,
+    so the ``batch_id < N`` match filter keeps seeing its rows; the next
+    compaction collapses per-doc generations normally), and v1/v2 rows are
+    re-bucketed under the v3 (band, min_hash) partition hash. The swap is
+    the crash-safe rename-aside (:func:`_swap_state_table`). Returns
+    ``{"rows": n}``."""
+    from pyspark.sql.utils import AnalysisException
+
+    from nativeextractor_spark.kg.graph import _hadoop_fs, merge_into
+
+    try:
+        df = spark.read.parquet(state_path)
+    except AnalysisException:
+        # directory exists but holds no data files (crashed first write):
+        # nothing to migrate — stamp and move on
+        _stamp_layout(spark, state_path)
+        return {"rows": 0}
+    if "batch_id" not in df.columns:
+        df = df.withColumn("batch_id", F.lit(-1).cast("long"))
+    df = df.select(
+        *[F.col(f.name).cast(f.dataType) for f in BAND_STATE_SCHEMA]
+    ).localCheckpoint(eager=True)
+    rows = df.count()
+    tmp_path = state_path.rstrip("/") + ".migrate"
+    fs, jtmp = _hadoop_fs(spark, tmp_path)
+    if fs.exists(jtmp):
+        fs.delete(jtmp, True)
+    merge_into(
+        df,
+        tmp_path,
+        keys=BAND_STATE_LAYOUT["keys"],
+        bucket_cols=BAND_STATE_LAYOUT["bucket_cols"],
+    )
+    _swap_state_table(spark, state_path, tmp_path)
+    _stamp_layout(spark, state_path)
+    return {"rows": rows}
+
+
+def _read_band_state(
+    spark: SparkSession,
+    state_path: str,
+    prune_bands: DataFrame | None = None,
+) -> DataFrame | None:
     """Band-state table at ``state_path``, or None when it has never been
     written. 'Never written' is decided by an explicit FileSystem existence
     check — NOT by classifying reader error messages, which is
     Spark-version-fragile and can misread a corrupt-but-existing table as
     first-batch-clean (silently disabling cross-batch matching). Any error
-    from reading an EXISTING path propagates and fails the batch."""
-    from nativeextractor_spark.kg.graph import _fs_exists
+    from reading an EXISTING path propagates and fails the batch; an
+    ABSENT path with an interrupted-swap leftover next to it raises
+    instead of reading as never-written (ADVICE r5).
+
+    ``prune_bands`` (a frame with ``band``/``min_hash`` columns — the
+    micro-batch's band table) enables BUCKET-PRUNED reads on a current-
+    layout table: only the ``_bucket=`` partitions the batch's
+    (band, min_hash) values hash to are scanned, so per-batch read cost
+    is bounded by the batch's bucket spread (≤ min(batch_bands, 256)
+    partitions), not by corpus lifetime. Rows outside those buckets
+    cannot equi-join the batch on (band, min_hash) — same results as the
+    full scan by construction."""
+    from nativeextractor_spark.kg.graph import (
+        N_BUCKETS,
+        _bucket_dirs,
+        _fs_exists,
+    )
 
     if not _fs_exists(spark, state_path):
+        for suffix in _SWAP_SUFFIXES:
+            leftover = state_path.rstrip("/") + suffix
+            if _fs_exists(spark, leftover):
+                raise RuntimeError(
+                    f"band-state table missing at {state_path} but an "
+                    f"interrupted swap left {leftover} — refusing to treat "
+                    "the state as never-written (that would silently "
+                    "restart dedup from empty). Recover by renaming the "
+                    f"leftover back to {state_path}."
+                )
         return None
-    # project away the merge_into _bucket partition column the reader
-    # appends beyond the explicit schema
+    names = [f.name for f in BAND_STATE_SCHEMA]
+    if (
+        prune_bands is not None
+        and _read_layout(spark, state_path) == BAND_STATE_LAYOUT
+    ):
+        bcols = BAND_STATE_LAYOUT["bucket_cols"]
+        bucket = F.pmod(F.xxhash64(*bcols), F.lit(N_BUCKETS)).cast("int")
+        # bounded collect: at most N_BUCKETS distinct values
+        touched = {
+            r[0]
+            for r in prune_bands.select(bucket.alias("_b")).distinct().collect()
+        }
+        readable = sorted(touched & _bucket_dirs(spark, state_path))
+        if not readable:
+            return spark.createDataFrame([], BAND_STATE_SCHEMA)
+        return (
+            spark.read.option("basePath", state_path)
+            .schema(BAND_STATE_SCHEMA)
+            .parquet(*[f"{state_path}/_bucket={b}" for b in readable])
+            .select(*names)
+        )
+    # full scan: compaction/migration consumers, or a pre-v3 table a
+    # caller reads without ensuring the layout first
     return (
         spark.read.schema(BAND_STATE_SCHEMA)
         .parquet(state_path)
-        .select(*[f.name for f in BAND_STATE_SCHEMA])
+        .select(*names)
     )
 
 
@@ -170,8 +343,13 @@ def dedup_stream_near(
         # check) maps to prior=None — any error reading an existing table
         # must propagate and fail the batch (a swallowed error would
         # silently run with cross-batch matching OFF, admitting
-        # near-duplicates into the canonical set forever)
-        prior = _read_band_state(spark, state_path)
+        # near-duplicates into the canonical set forever). The read is
+        # BUCKET-PRUNED to the batch's (band, min_hash) buckets (r6) —
+        # per-batch read cost is bounded by batch size, not by how long
+        # the stream has been running; an older-layout table is migrated
+        # once before anything touches it (ADVICE r5 medium).
+        _ensure_band_state_layout(spark, state_path)
+        prior = _read_band_state(spark, state_path, prune_bands=bands)
         if prior is not None:
             prior = prior.where(F.col("batch_id") < F.lit(batch_id))
         if prior is not None:
@@ -244,9 +422,16 @@ def dedup_stream_near(
         surviving_bands = bands.join(
             survivors.select(F.col("_id").alias("doc_id")), "doc_id"
         ).withColumn("batch_id", F.lit(batch_id).cast("long"))
+        # bucketed by (band, min_hash) — the columns the next batch's
+        # pruned read probes on; safe as non-key bucket cols because a
+        # replayed batch recomputes byte-identical rows (see merge_into)
         merge_into(
-            surviving_bands, state_path, keys=["doc_id", "band", "batch_id"]
+            surviving_bands,
+            state_path,
+            keys=BAND_STATE_LAYOUT["keys"],
+            bucket_cols=BAND_STATE_LAYOUT["bucket_cols"],
         )
+        _stamp_layout(spark, state_path)
 
     return (
         pages_stream.writeStream.foreachBatch(sink)
@@ -280,6 +465,7 @@ def compact_band_state(
 
     Returns ``{"rows_before": n, "rows_after": m, "docs_dropped": k}``.
     """
+    _ensure_band_state_layout(spark, state_path)
     state = _read_band_state(spark, state_path)
     if state is None:
         return {"rows_before": 0, "rows_after": 0, "docs_dropped": 0}
@@ -301,20 +487,25 @@ def compact_band_state(
     )
     rows_after = compacted.count()
     # swap via the Hadoop FS (works for file:/hdfs:/s3a:): write the
-    # compacted table fresh next to the live one, then delete + rename.
-    # The window between delete and rename is why this job is documented
-    # stream-stopped-only; a crash inside it leaves the compacted table
-    # at state_path + '.compact' for manual recovery.
+    # compacted table fresh next to the live one, then rename-ASIDE swap
+    # (ADVICE r5: the old delete-then-rename left a crash window where the
+    # live path was absent and read as never-written; now any crash
+    # leaves either the live table or a leftover reads detect and raise
+    # on — see _swap_state_table).
     from nativeextractor_spark.kg.graph import _hadoop_fs, merge_into
 
     tmp_path = state_path.rstrip("/") + ".compact"
     fs, jtmp = _hadoop_fs(spark, tmp_path)
     if fs.exists(jtmp):
         fs.delete(jtmp, True)
-    merge_into(compacted, tmp_path, keys=["doc_id", "band", "batch_id"])
-    _, jstate = _hadoop_fs(spark, state_path)
-    fs.delete(jstate, True)
-    fs.rename(jtmp, jstate)
+    merge_into(
+        compacted,
+        tmp_path,
+        keys=BAND_STATE_LAYOUT["keys"],
+        bucket_cols=BAND_STATE_LAYOUT["bucket_cols"],
+    )
+    _swap_state_table(spark, state_path, tmp_path)
+    _stamp_layout(spark, state_path)
     return {
         "rows_before": rows_before,
         "rows_after": rows_after,

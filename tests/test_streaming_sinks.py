@@ -354,3 +354,154 @@ def test_near_dedup_band_generations_compaction_and_ttl(
     run_once()
     urls = {r.url for r in spark.read.parquet(out).collect()}
     assert urls == {"docA", "docB", "docA_old_dup", "docB_dup"}, urls
+
+
+def test_band_state_v1_layout_migration(spark, tmp_path_factory):
+    """ADVICE r5 (medium): a state table written under the r4 (doc_id,
+    band) key layout is detected and fully re-written under the current
+    layout BEFORE the first merge — its rows keep matching (batch_id=-1
+    stamps always pass the batch_id < N filter) instead of being silently
+    deleted by touched-bucket rewrites under the new key hash."""
+    from pyspark.sql import functions as F
+
+    from nativeextractor_spark.kg.graph import merge_into
+    from nativeextractor_spark.streaming.dedup import (
+        _read_layout,
+        BAND_STATE_LAYOUT,
+        dedup_stream_near,
+    )
+    from nativeextractor_spark.textops.dedup import minhash_bands
+
+    src = str(tmp_path_factory.mktemp("mig_src"))
+    out = str(tmp_path_factory.mktemp("mig_out")) + "/docs"
+    state = str(tmp_path_factory.mktemp("mig_state")) + "/bands"
+    ck = str(tmp_path_factory.mktemp("mig_ck"))
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    # the r4-era state: docA's bands keyed (doc_id, band), NO batch_id
+    # column, bucketed under the old key hash
+    old_docs = spark.createDataFrame([("docA", base)], "_id string, _text string")
+    v1 = minhash_bands(
+        old_docs, text_col="_text", id_col="_id",
+        num_hashes=8, k=3, hash_flavor="xx64", shingle="word_hash",
+    )
+    merge_into(v1, state, keys=["doc_id", "band"])
+    assert _read_layout(spark, state) is None  # genuinely un-stamped
+
+    # first post-upgrade batch: a near-dup of the r4-era survivor plus a
+    # distinct doc
+    spark.createDataFrame(
+        [
+            ("docA_dup", base + " extra"),
+            ("docNew", "completely different words about spark shuffles and joins here"),
+        ],
+        "url string, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("url string, text string").parquet(src)
+    q = dedup_stream_near(stream, out, state, ck).start()
+    q.awaitTermination(180)
+
+    # the old state was migrated, not lost: docA_dup is suppressed
+    urls = {r.url for r in spark.read.parquet(out).collect()}
+    assert urls == {"docNew"}, urls
+    assert _read_layout(spark, state) == BAND_STATE_LAYOUT
+    st = spark.read.parquet(state)
+    by_doc = {
+        r.doc_id: r.batch_id
+        for r in st.select("doc_id", "batch_id").distinct().collect()
+    }
+    assert by_doc == {"docA": -1, "docNew": 0}, by_doc
+
+
+def test_band_state_pruned_read_is_bounded(spark, tmp_path_factory):
+    """r6: the per-batch state read scans only the _bucket= partitions
+    the batch's (band, min_hash) values hash to — a bounded fraction of
+    a grown state table — and returns exactly the rows a full scan would
+    join on those keys."""
+    from pyspark.sql import functions as F
+
+    from nativeextractor_spark.kg.graph import merge_into
+    from nativeextractor_spark.streaming.dedup import (
+        BAND_STATE_LAYOUT,
+        _read_band_state,
+        _stamp_layout,
+    )
+
+    state = str(tmp_path_factory.mktemp("prune_state")) + "/bands"
+    # a grown corpus-lifetime state: 500 docs x 8 bands, arbitrary hashes
+    grown = spark.range(500 * 8).select(
+        F.concat(F.lit("doc"), (F.col("id") / 8).cast("long")).alias("doc_id"),
+        (F.col("id") % 8).cast("int").alias("band"),
+        F.xxhash64("id").alias("min_hash"),
+        F.lit(0).cast("long").alias("batch_id"),
+    )
+    merge_into(
+        grown, state,
+        keys=BAND_STATE_LAYOUT["keys"],
+        bucket_cols=BAND_STATE_LAYOUT["bucket_cols"],
+    )
+    _stamp_layout(spark, state)
+
+    # one small batch: a single doc's 8 bands, half of them colliding
+    # with known state rows
+    probe = grown.where(F.col("doc_id") == "doc7").select(
+        F.lit("probe").alias("doc_id"), "band", "min_hash",
+    ).where(F.col("band") < 4).unionByName(
+        spark.range(4).select(
+            F.lit("probe").alias("doc_id"),
+            (F.col("id") + 4).cast("int").alias("band"),
+            F.xxhash64(F.col("id") + 10_000_000).alias("min_hash"),
+        )
+    ).localCheckpoint(eager=True)
+
+    pruned = _read_band_state(spark, state, prune_bands=probe)
+    full = _read_band_state(spark, state)
+    # bounded read: at most 8 of the populated partitions
+    n_pruned, n_full = len(pruned.inputFiles()), len(full.inputFiles())
+    assert n_pruned <= 8 < n_full, (n_pruned, n_full)
+    # same matches as the full scan
+    key = ["band", "min_hash"]
+    m_pruned = sorted(
+        (r.doc_id, r.band) for r in pruned.join(probe.select(*key), key).collect()
+    )
+    m_full = sorted(
+        (r.doc_id, r.band) for r in full.join(probe.select(*key), key).collect()
+    )
+    assert m_pruned == m_full and len(m_pruned) == 4, (m_pruned, m_full)
+
+
+def test_band_state_interrupted_swap_raises(spark, tmp_path_factory):
+    """ADVICE r5 (low): an interrupted compaction swap must NOT read as
+    never-written (which would silently restart dedup from empty state)
+    — a missing live table with a .compact/.old leftover raises."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from nativeextractor_spark.kg.graph import _hadoop_fs, merge_into
+    from nativeextractor_spark.streaming.dedup import (
+        BAND_STATE_LAYOUT,
+        _read_band_state,
+    )
+
+    state = str(tmp_path_factory.mktemp("swap_state")) + "/bands"
+    rows = spark.range(8).select(
+        F.lit("docA").alias("doc_id"),
+        F.col("id").cast("int").alias("band"),
+        F.xxhash64("id").alias("min_hash"),
+        F.lit(0).cast("long").alias("batch_id"),
+    )
+    merge_into(
+        rows, state,
+        keys=BAND_STATE_LAYOUT["keys"],
+        bucket_cols=BAND_STATE_LAYOUT["bucket_cols"],
+    )
+    # simulate a crash between rename-aside and rename-in: live table
+    # gone, compacted candidate left behind
+    fs, jstate = _hadoop_fs(spark, state)
+    _, jcompact = _hadoop_fs(spark, state + ".compact")
+    assert fs.rename(jstate, jcompact)
+    with pytest.raises(RuntimeError, match="interrupted swap"):
+        _read_band_state(spark, state)
+    # recovery (rename back) restores normal reads
+    assert fs.rename(jcompact, jstate)
+    assert _read_band_state(spark, state).count() == 8
