@@ -12,12 +12,13 @@ Two classic pre-training cleanup stages, both entirely JVM-side:
   (min (doc_id, position)) across the whole corpus — the standard
   boilerplate-removal pass.
 
-Scale shape: the n-gram stats explode the n VALUES first (9 rows/doc),
-then each row's own gram list — bounding per-row memory to one gram
-array; line stats and line dedup explode once. Every aggregation is hash
-partial-agg; no Python anywhere. The default paths use no window
-functions either; the opt-in span-union dup flavor (r4) adds exactly one
-per-doc running-sum window for token offsets.
+Scale shape: since r5/r6 BOTH dup flavors default to ZERO-shuffle
+per-row computation — every metric (line stats included) is a
+sorted-array fold inside the document's own row; no explode, no groupBy,
+no window, no Python anywhere. Line dedup explodes once (it is
+corpus-wide by definition) with hash partial-agg everywhere. The
+explode-shaped span engine (r4) survives as ``span_engine="explode"``
+— an independent distributed shape used for cross-engine testing.
 """
 
 from __future__ import annotations
@@ -44,6 +45,7 @@ def gopher_repetition(
     gram_key: str = "hash",
     dup_flavor: str = "count",
     assume_unique: bool = False,
+    span_engine: str = "local",
 ) -> DataFrame:
     """Per-document Gopher repetition metrics + pass flags.
 
@@ -75,15 +77,24 @@ def gopher_repetition(
       * ``"span"`` (r4) — the FAITHFUL Gopher rule (Rae et al. 2021):
         fraction of characters covered by at least one occurrence of a
         duplicated n-gram — the union of the occurrences' character
-        intervals, merged per (doc, n). Token start offsets come from one
-        per-doc running-sum window over the token-length array; the
-        interval union itself is a sort+fold inside a single aggregate
-        (``aggregate(array_sort(collect_list(...)))``) — no second
-        window, no per-doc Python. Costs one extra shuffle (token
-        offsets) over the count flavor; pass rates ARE comparable to
-        published Gopher numbers. Duplicate input ids are collapsed to
-        the min text upfront (the offset arrays require unique ids);
-        ``assume_unique=True`` skips that shuffle when the caller
+        intervals, merged per (doc, n). Since r6 this too is a
+        ZERO-shuffle per-row computation by default
+        (``span_engine="local"``, :func:`_per_n_span_local_expr`): the
+        key insight is that every occurrence is a run of exactly n
+        consecutive tokens, so the char-interval union equals the
+        TOKEN-index interval union mapped back to chars (covered token
+        lengths + covered separators) — duplicated occurrence start
+        positions fall out of one sorted (gram, pos) array, and the
+        union is a second sorted fold, all inside the document's row.
+        ``span_engine="explode"`` keeps the r4/r5 distributed shape
+        (token-offset window + corpus-wide per-(doc, n, gram) counts +
+        interval-merge aggregate) — output-identical (cross-engine
+        test), but it shuffles ~9x the corpus token volume to compute
+        per-document metrics, so it survives only as the
+        independent-shape cross-check. Duplicate input ids are
+        collapsed to the min text upfront (both engines key output by
+        doc_id; the explode engine's offset arrays additionally require
+        it); ``assume_unique=True`` skips that shuffle when the caller
         guarantees uniqueness (curate_corpus does). The count flavor
         ignores ``assume_unique`` and keeps its merge-the-copies
         semantics for duplicate ids.
@@ -122,6 +133,10 @@ def gopher_repetition(
         raise ValueError(f"gram_key must be 'hash' or 'string', got {gram_key!r}")
     if dup_flavor not in ("count", "span"):
         raise ValueError(f"dup_flavor must be 'count' or 'span', got {dup_flavor!r}")
+    if span_engine not in ("local", "explode"):
+        raise ValueError(
+            f"span_engine must be 'local' or 'explode', got {span_engine!r}"
+        )
     if dup_flavor == "span" and not assume_unique:
         # the span flavor's per-doc token-offset arrays would interleave
         # duplicate-id copies (r4 review 3) — collapse like the span
@@ -171,22 +186,61 @@ def gopher_repetition(
 
     # --- n-gram stats ----------------------------------------------------
     ns = sorted(_TOP_NGRAM_MAX) + sorted(_DUP_NGRAM_MAX)
-    if dup_flavor == "count":
-        # r5: the count flavor is per-document too — each n's metrics come
-        # from ONE sorted-gram-array fold inside the same projection (see
-        # _per_n_local_expr), so the whole operator is a zero-shuffle,
-        # zero-explode map over the corpus (plan-asserted). The r4
-        # explode + two-level groupBy + pivot + join shape shuffled ~9x
-        # the corpus token volume; identical output (cross-checked row-
-        # for-row and still pinned by the DuckDB oracle).
-        wide = base.select(
+    if dup_flavor == "count" or span_engine == "local":
+        # zero-shuffle shape (count flavor since r5; span since r6): each
+        # n's metrics come from sorted-array folds inside the document's
+        # own row, so the whole operator is a zero-shuffle, zero-explode
+        # map over the corpus (plan-asserted). The r4 explode + two-level
+        # groupBy + pivot + join shape shuffled ~9x the corpus token
+        # volume; identical output (cross-checked row-for-row and still
+        # pinned by the DuckDB oracle).
+        #
+        # Top-gram metrics (n=2..4) use the count-flavor fold in BOTH
+        # flavors — the top pick's contribution depends only on
+        # (count, len), which is flavor-independent. Only the dup-rule
+        # ns (5..10) differ: count folds sum(count*len); span folds the
+        # token-interval union (see _span_dup_chars_expr).
+        if dup_flavor == "count":
+            metric_src = base
+            dup_metric = {
+                n: _t6(F.col(f"_m{n}.dup"), F.col("n_chars"))
+                for n in _DUP_NGRAM_MAX
+            }
+            metric_cols = [
+                F.expr(_per_n_local_expr(n, gram_key)).alias(f"_m{n}")
+                for n in ns
+            ]
+        else:
+            # span local engine: chain one (sorted-array -> union-fold)
+            # projection pair per dup n. The sorted (gk, pos) array is
+            # materialized as a REAL column before the fold that reads it
+            # three times (filter target + two neighbor lookups inside
+            # the lambda): Catalyst's CollapseProject keeps multi-use
+            # expensive aliases un-inlined, so each array is sorted once
+            # per row, and the big arrays are alive only across their own
+            # projection pair (peak row memory ~ one gram array, same as
+            # the count flavor).
+            metric_src = base
+            for n in sorted(_DUP_NGRAM_MAX):
+                metric_src = metric_src.withColumn(
+                    f"_s{n}", F.expr(_span_sorted_expr(n, gram_key))
+                )
+                metric_src = metric_src.withColumn(
+                    f"_d{n}", F.expr(_span_dup_chars_expr(n, f"_s{n}"))
+                ).drop(f"_s{n}")
+            dup_metric = {
+                n: _t6(F.col(f"_d{n}"), F.col("n_chars"))
+                for n in _DUP_NGRAM_MAX
+            }
+            metric_cols = [
+                F.expr(_per_n_local_expr(n, gram_key)).alias(f"_m{n}")
+                for n in sorted(_TOP_NGRAM_MAX)
+            ] + [F.col(f"_d{n}") for n in sorted(_DUP_NGRAM_MAX)]
+        wide = metric_src.select(
             "doc_id",
             "n_chars",
             *line_stats_cols,
-            *[
-                F.expr(_per_n_local_expr(n, gram_key)).alias(f"_m{n}")
-                for n in ns
-            ],
+            *metric_cols,
         )
         cols = [
             (
@@ -195,9 +249,7 @@ def gopher_repetition(
                     F.col("n_chars"),
                 ).alias(f"top{n}gram_char_frac")
                 if n in _TOP_NGRAM_MAX
-                else _t6(F.col(f"_m{n}.dup"), F.col("n_chars")).alias(
-                    f"dup{n}gram_char_frac"
-                )
+                else dup_metric[n].alias(f"dup{n}gram_char_frac")
             )
             for n in ns
         ]
@@ -318,6 +370,92 @@ def _per_n_local_expr(n: int, gram_key: str) -> str:
         f"   ELSE struct(x.gk as prev, 1 as c, {glen_of_x} as glen,"
         f"               {close} as top, {dupadd} as dup) END,"
         f" acc -> struct({close} AS top, {dupadd} AS dup))"
+    )
+
+
+def _span_sorted_expr(n: int, gram_key: str) -> str:
+    """SQL expression building one n's occurrence array sorted by
+    (gram key, token position): ``array(struct(gk, i))`` with i the
+    1-based start-token index. Same slice-to-true-length guard as
+    :func:`_per_n_local_expr` (``sequence(1, 0)`` would count DOWN);
+    a doc with fewer than n tokens gets an empty array. O(G log G)."""
+    if gram_key == "hash":
+        entry = f"struct(xxhash64(slice(_toks, i, {n})) AS gk, i AS i)"
+    else:
+        entry = f"struct(array_join(slice(_toks, i, {n}), ' ') AS gk, i AS i)"
+    return (
+        f"array_sort(slice(transform(sequence(1, greatest(size(_toks) - {n - 1}, 1)),"
+        f" i -> {entry}),"
+        f" 1, greatest(size(_toks) - {n - 1}, 0)))"
+    )
+
+
+def _span_dup_chars_expr(n: int, scol: str) -> str:
+    """SQL expression computing one n's FAITHFUL span-flavor dup metric
+    (characters covered by the union of all duplicated-n-gram occurrence
+    intervals, Rae et al. 2021) ENTIRELY inside the row (r6), reading the
+    pre-sorted occurrence array column ``scol`` (:func:`_span_sorted_expr`)
+    and the token-length array ``_tlens``.
+
+    Why this is row-local at all: every occurrence is a run of exactly n
+    consecutive TOKENS, so its char interval is determined by its start
+    token index alone, and two occurrences' char intervals overlap iff
+    their start indices differ by at most n-1 (equality: the separator
+    between token runs j = i+n is exactly one uncovered char; runs
+    j <= i+n-1 share token i+n-1's chars or the separator before it).
+    The union therefore merges in TOKEN-index space, and a merged run of
+    starts [a..b] covers tokens a..b+n-1 plus the b+n-1-a separators
+    between them — no char-offset (prefix-sum) array is needed, which is
+    what the r4 explode engine burned a window + shuffle computing.
+
+    Three steps, all O(G log G) per row:
+
+    1. duplicated occurrences: element p of the (gk, i)-sorted array is
+       duplicated iff a NEIGHBOR holds the same gram key — two O(1)
+       ``element_at`` probes inside an indexed ``filter`` lambda (the
+       array is a materialized column, so the probes hit a bound row
+       buffer, not a recomputed sort);
+    2. ``array_sort`` the surviving start indices back into token order;
+    3. one fold merges ascending starts into runs (merge while the next
+       start is <= run-end + n - 1) and closes each run with a
+       ``slice``-sum of the covered token lengths — runs are disjoint in
+       token space, so the total slice work is O(tokens).
+
+    Returns a bigint; 0 for docs with no duplicated n-gram. Output is
+    identical to the explode engine by the interval mapping above
+    (cross-engine tested); under 64-bit gram-hash collisions both local
+    flavors merge the same gram classes (gram_key="string" is
+    collision-free and is what the DuckDB oracle replays)."""
+    g = f"size({scol})"
+    # probe indices are clamped into [1, size] so the lookups can never
+    # throw even if AND were evaluated eagerly; the p>0 / p<size-1 guards
+    # alone decide the outcome (a clamped probe's value is masked)
+    dup_pos = (
+        f"array_sort(transform(filter({scol}, (x, p) ->"
+        f" (p > 0 AND element_at({scol}, greatest(p, 1)).gk = x.gk)"
+        f" OR (p < {g} - 1 AND element_at({scol}, least(p + 2, {g})).gk = x.gk)),"
+        f" x -> x.i))"
+    )
+
+    def runchars(a: str, b: str) -> str:
+        # tokens a..b+n-1 (slice length b+n-a) + separators between them
+        return (
+            f"aggregate(slice(_tlens, {a}, {b} + {n} - {a}),"
+            f" cast(0 as bigint), (s, t) -> s + t)"
+            f" + cast({b} + {n - 1} - {a} as bigint)"
+        )
+
+    close = runchars("acc.a", "acc.b")
+    return (
+        f"aggregate({dup_pos},"
+        " struct(0 as a, 0 as b, cast(0 as bigint) as cov),"
+        " (acc, i) -> CASE"
+        "   WHEN acc.a = 0 THEN struct(i as a, i as b, acc.cov as cov)"
+        f"  WHEN i <= acc.b + {n - 1}"
+        "     THEN struct(acc.a as a, i as b, acc.cov as cov)"
+        f"  ELSE struct(i as a, i as b, acc.cov + {close} as cov) END,"
+        " acc -> CASE WHEN acc.a = 0 THEN cast(0 as bigint)"
+        f"        ELSE acc.cov + {close} END)"
     )
 
 

@@ -160,6 +160,14 @@ def test_gopher_repetition_plan_zero_shuffle(spark):
     assert "Window" not in plan, plan
     assert "Exchange" not in plan, plan
     assert "Generate" not in plan, plan  # no explode survives
+    # r6: the FAITHFUL span flavor is row-local too (token-interval
+    # union folds; see _span_dup_chars_expr) — same zero-shuffle bar
+    span_plan = _plan(
+        gopher_repetition(df, dup_flavor="span", assume_unique=True)
+    )
+    assert "Window" not in span_plan, span_plan
+    assert "Exchange" not in span_plan, span_plan
+    assert "Generate" not in span_plan, span_plan
 
 
 def test_line_dedup_single_line_shuffle(spark):

@@ -668,6 +668,68 @@ def test_gopher_repetition_span_flavor(spark):
     assert tuple(one) == tuple(ref)
 
 
+def test_gopher_span_local_vs_explode_engines(spark):
+    """r6: the zero-shuffle row-local span engine (token-interval union
+    folds) is output-identical to the r4/r5 distributed explode engine on
+    randomized repetitive docs — the two shapes share no code path beyond
+    tokenization, so agreement pins the interval-mapping proof in
+    _span_dup_chars_expr. Small vocab forces dense duplicated grams,
+    overlapping occurrences, and adjacent-run boundaries (j = i+n, the
+    one-separator-gap case)."""
+    import random
+
+    from nativeextractor_spark.textops.lines import gopher_repetition
+
+    rng = random.Random(20260817)
+    docs = [
+        (
+            i,
+            " ".join(
+                rng.choice(["aa", "bb", "cc", "d", "longword"])
+                for _ in range(rng.randint(1, 120))
+            ),
+        )
+        for i in range(30)
+    ]
+    docs += [
+        (100, ""),
+        (101, None),
+        (102, "one two three four"),  # fewer than 5 tokens
+        (103, "x x x x x x x x x x x x"),  # maximal overlap
+        (104, "a b c d e a b c d e f g h i j a b c d e"),  # runs at gap n
+        (105, "s  s  s  s  s  s  s"),  # empty tokens (double separators)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for gk in ("hash", "string"):
+        loc = sorted(
+            map(
+                tuple,
+                gopher_repetition(
+                    df,
+                    dup_flavor="span",
+                    span_engine="local",
+                    gram_key=gk,
+                    assume_unique=True,
+                ).collect(),
+            )
+        )
+        exp = sorted(
+            map(
+                tuple,
+                gopher_repetition(
+                    df,
+                    dup_flavor="span",
+                    span_engine="explode",
+                    gram_key=gk,
+                    assume_unique=True,
+                ).collect(),
+            )
+        )
+        assert loc == exp, f"engine mismatch under gram_key={gk}"
+    with pytest.raises(ValueError):
+        gopher_repetition(df, dup_flavor="span", span_engine="nope")
+
+
 def test_drop_duplicate_lines_hash_vs_string_flavor(spark):
     """The 8-byte-key shuffle flavor (default) and the raw-string flavor
     (oracle-replayable) agree row-for-row; the hash flavor's plan carries
