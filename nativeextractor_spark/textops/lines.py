@@ -128,6 +128,20 @@ def gopher_repetition(
     collisions): counts group the same equivalence classes (tokens contain
     no separators, so join-with-space is injective) and the top pick's
     contribution depends only on (count, len).
+
+    Two hot-path caveats for the zero-shuffle engines (r6, both learned
+    the hard way):
+
+    - ``.where(...)`` directly on the returned frame lets predicate
+      pushdown substitute the pass/metric aliases down the projection
+      chain, duplicating the multi-use sorted-array folds into the
+      filter (~3x per-row work). Materialize first (``staging.stage`` /
+      persist) when filtering in a hot path — curate_corpus does.
+    - The engines inherit the INPUT's partitioning (nothing shuffles),
+      and their CPU cost per byte is orders of magnitude above
+      relational ops — an upstream byte-based layout (AQE-coalesced
+      shuffle, one small file) serializes them. Ensure the input has
+      real parallelism (curate_corpus floors it after its id collapse).
     """
     if gram_key not in ("hash", "string"):
         raise ValueError(f"gram_key must be 'hash' or 'string', got {gram_key!r}")

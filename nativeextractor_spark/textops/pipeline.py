@@ -72,9 +72,14 @@ def curate_corpus(
     """pages(id, text, ...) → (curated(id, text), per-stage metrics dict).
 
     Metrics record the surviving document count after each enabled stage
-    (``n_input`` first). Counting forces one action per stage — curation
-    is a batch job, and each count doubles as the stage barrier a real
-    pipeline would checkpoint at.
+    (``n_input`` first). MULTI-consumer stages (the filter chain, exact
+    dedup, line dedup) are materialized via :mod:`staging` barriers and
+    counted there; the tail stages (near-dedup removal, redact) preserve
+    or arithmetically determine the count from small staged frames and
+    FLOW into the returned DataFrame unstaged (r6) — the caller's write
+    is their single consumer, so staging corpus text there bought no
+    reuse, only the write+read round trip (the bulk of the measured 1.6x
+    parquet-staging overhead at sf1).
     """
     from nativeextractor_spark.kg.components import connected_components
     from nativeextractor_spark.textops.dedup import (
@@ -101,6 +106,21 @@ def curate_corpus(
     collapsed = df.groupBy("_id").agg(
         F.min("_text").alias("_text"), F.count("*").alias("_c")
     ).transform(stage("curate"))
+    # AQE sizes the collapse shuffle's output partitions by BYTES, but the
+    # downstream repetition rules are CPU-dense zero-shuffle per-row folds
+    # (~ms/KB, orders of magnitude more CPU per byte than relational ops)
+    # that INHERIT this layout — on a small corpus AQE happily coalesces
+    # to 1 partition and the whole filter stage runs on one core (r6:
+    # observed 60x+ slowdown at sf0.1). Floor the parallelism when the
+    # materialized layout is degenerate; at real data volumes AQE already
+    # yields >= hundreds of partitions and this never triggers.
+    floor = min(
+        collapsed.sparkSession.sparkContext.defaultParallelism, 200
+    )
+    if collapsed.rdd.getNumPartitions() < floor:
+        collapsed = collapsed.repartition(floor, "_id").transform(
+            stage("curate")
+        )
     counts = collapsed.agg(
         F.sum("_c").alias("rows"), F.count("*").alias("ids")
     ).collect()[0]
@@ -119,14 +139,21 @@ def curate_corpus(
             # repetition_flavor="span" (default, r5) is the paper-faithful
             # span-union dup-gram rule (pass rates comparable to published
             # Gopher numbers); "count" is the cheaper upper bound — see the
-            # module docstring note
+            # module docstring note.
+            #
+            # Stage the (small) per-doc metrics frame BEFORE filtering:
+            # predicate pushdown would otherwise substitute the pass flag
+            # down through the projection chain, duplicating the heavy
+            # multi-use sorted-array folds into the filter (~3x the
+            # per-row work, r6) — materializing first evaluates each fold
+            # exactly once and makes the filter a free scan.
             r = gopher_repetition(
                 df,
                 text_col="_text",
                 id_col="_id",
                 dup_flavor=repetition_flavor,
                 assume_unique=True,  # ids collapsed at pipeline entry
-            )
+            ).transform(stage("curate-repetition"))
             rk = r.where("repetition_pass").select(F.col("doc_id").alias("_id"))
             keep = rk if keep is None else keep.join(rk, "_id")
         if languages:
@@ -182,6 +209,20 @@ def curate_corpus(
         )
         df = df.drop("n_removed_chars")
 
+    # document count of the CURRENT df — maintained so the tail stages
+    # (near-dedup removal, redact) can report exact counts from SMALL
+    # staged frames instead of forcing a corpus-sized barrier each (r6:
+    # at sf1 in parquet staging mode those two corpus text write+read
+    # round trips were the bulk of the measured 1.6x staging overhead;
+    # both tail stages are single-consumer, so the corpus frames now
+    # FLOW into the caller's write)
+    cur_count = metrics[
+        [k for k in (
+            "after_line_dedup", "after_exact_dedup", "after_filters",
+            "n_distinct_ids",
+        ) if k in metrics][0]
+    ]
+
     if near_dedup:
         pairs = lsh_duplicate_pairs(
             df,
@@ -207,11 +248,16 @@ def curate_corpus(
             F.xxhash64("doc_a").alias("u"), F.xxhash64("doc_b").alias("v")
         ).transform(stage("curate"))
         if edges.isEmpty():
-            metrics["after_near_dedup"] = df.count()
+            metrics["after_near_dedup"] = cur_count
         else:
             comps = connected_components(edges)
             # keep the min ORIGINAL id per cluster: map hashed node back by
-            # joining on the id hash, then pick min id per component
+            # joining on the id hash, pick min id per component, and stage
+            # only the SMALL frame of ids to REMOVE (cluster members minus
+            # keepers). The corpus-sized result is then ONE broadcast-able
+            # anti join away and flows to the next stage unstaged — the
+            # r5 shape staged the whole post-dedup corpus just to count
+            # it; the count is exactly cur_count - |drop_ids|.
             hashed = df.select("_id", F.xxhash64("_id").alias("_h"))
             clustered = hashed.join(
                 comps, hashed["_h"] == comps["node"]
@@ -219,20 +265,21 @@ def curate_corpus(
             keep_ids = clustered.groupBy("component").agg(
                 F.min("_id").alias("_id")
             ).select("_id")
-            in_cluster = clustered.select("_id")
-            df = (
-                df.join(in_cluster, "_id", "left_anti")
-                .unionByName(df.join(keep_ids, "_id"))
-                .transform(stage("curate"))
-            )
-            metrics["after_near_dedup"] = df.count()
+            drop_ids = clustered.select("_id").join(
+                keep_ids, "_id", "left_anti"
+            ).transform(stage("curate-drop-ids"))
+            df = df.join(drop_ids, "_id", "left_anti")
+            cur_count -= drop_ids.count()
+            metrics["after_near_dedup"] = cur_count
 
     if redact:
-        # checkpoint so the caller's write does not re-run the PII miners
+        # redact is a projection-shaped single-scan map that preserves the
+        # row count, and the caller's write is its only consumer — it
+        # flows (no barrier, r6); n_output needs no corpus scan
         df = redact_pii(df, text_col="_text", key_col="_id").select(
             F.col("_id"), F.col("text").alias("_text")
-        ).transform(stage("curate"))
-    metrics["n_output"] = df.count()
+        )
+    metrics["n_output"] = cur_count
 
     return (
         df.select(F.col("_id").alias(id_col), F.col("_text").alias(text_col)),
