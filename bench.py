@@ -367,7 +367,7 @@ def _headline(
         "regex_dfa_mine",
         lambda: _force(extract_occurrences(pages, dfa_miners)),
     )
-    return timings, cold
+    return timings, cold, single_pass
 
 
 def _drain_python_workers(timeout_s: int = 180) -> None:
