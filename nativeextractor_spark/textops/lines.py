@@ -217,12 +217,17 @@ def gopher_repetition(
         if dup_flavor == "count":
             metric_src = base
             dup_metric = {
-                n: _t6(F.col(f"_m{n}.dup"), F.col("n_chars"))
+                n: _t6(F.col(f"_d{n}"), F.col("n_chars"))
                 for n in _DUP_NGRAM_MAX
             }
+            # only the top ns (2..4) need the (count, len, key) pick; the
+            # dup ns (5..10) go through the cheaper dup-only fold (r6)
             metric_cols = [
                 F.expr(_per_n_local_expr(n, gram_key)).alias(f"_m{n}")
-                for n in ns
+                for n in sorted(_TOP_NGRAM_MAX)
+            ] + [
+                F.expr(_dup_n_local_expr(n, gram_key)).alias(f"_d{n}")
+                for n in sorted(_DUP_NGRAM_MAX)
             ]
         else:
             # span local engine: chain one (sorted-array -> union-fold)
@@ -384,6 +389,67 @@ def _per_n_local_expr(n: int, gram_key: str) -> str:
         f"   ELSE struct(x.gk as prev, 1 as c, {glen_of_x} as glen,"
         f"               {close} as top, {dupadd} as dup) END,"
         f" acc -> struct({close} AS top, {dupadd} AS dup))"
+    )
+
+
+def _dup_n_local_expr(n: int, gram_key: str) -> str:
+    """SQL expression computing one n's count-flavor DUPLICATED-gram char
+    sum (sum over grams with count > 1 of count * gram char length)
+    entirely inside the row (r6). The dup-rule ns (5..10) never use the
+    top-gram pick, so this fold skips everything
+    :func:`_per_n_local_expr` pays for it: no per-element char-length
+    fold (that shape folds n token lengths for EVERY gram before sorting
+    — ~sum(n)=45 interpreted adds per token across the dup ns) and no
+    (c, glen, gk) tie-break state. Gram char lengths are computed ONCE
+    per duplicated run at run close, from the run's FIRST occurrence
+    (the (gk, i) sort makes that the min token index — deterministic,
+    and identical to the old greatest-within-run pick absent 64-bit
+    gram-hash collisions, where every occurrence of a gram has the same
+    length). The string flavor sorts the plain gram-string array — the
+    string is both the key and, via ``length``, the char length. Work
+    per doc: O(G log G) sort + O(G) fold + O(n) per duplicated run.
+    Returns a bigint; 0 for docs with no duplicated n-gram."""
+    if gram_key == "hash":
+        sorted_arr = _span_sorted_expr(n, "hash")
+        # CASE picks the branch lazily, so the slice never runs for the
+        # init state; the greatest() clamp is belt-and-braces like the
+        # span fold's probe clamps
+        glen = (
+            f"aggregate(slice(_tlens, greatest(acc.si, 1), {n}),"
+            f" 0, (a, t) -> a + t) + {n - 1}"
+        )
+        close = (
+            f"CASE WHEN acc.c > 1 THEN cast(acc.c as bigint) * ({glen})"
+            " ELSE cast(0 as bigint) END"
+        )
+        return (
+            f"aggregate({sorted_arr},"
+            " struct(cast(null as bigint) as prev, 0 as c, 0 as si,"
+            "        cast(0 as bigint) as dup),"
+            " (acc, x) -> CASE WHEN acc.prev IS NOT NULL AND x.gk = acc.prev"
+            "   THEN struct(acc.prev as prev, acc.c + 1 as c, acc.si as si,"
+            "               acc.dup as dup)"
+            f"  ELSE struct(x.gk as prev, 1 as c, x.i as si,"
+            f"              acc.dup + {close} as dup) END,"
+            f" acc -> acc.dup + {close})"
+        )
+    grams = (
+        f"array_sort(slice(transform(sequence(1, greatest(size(_toks) - {n - 1}, 1)),"
+        f" i -> array_join(slice(_toks, i, {n}), ' ')),"
+        f" 1, greatest(size(_toks) - {n - 1}, 0)))"
+    )
+    close = (
+        "CASE WHEN acc.c > 1 THEN cast(acc.c as bigint) * length(acc.prev)"
+        " ELSE cast(0 as bigint) END"
+    )
+    return (
+        f"aggregate({grams},"
+        " struct(cast(null as string) as prev, 0 as c,"
+        "        cast(0 as bigint) as dup),"
+        " (acc, x) -> CASE WHEN acc.prev IS NOT NULL AND x = acc.prev"
+        "   THEN struct(acc.prev as prev, acc.c + 1 as c, acc.dup as dup)"
+        f"  ELSE struct(x as prev, 1 as c, acc.dup + {close} as dup) END,"
+        f" acc -> acc.dup + {close})"
     )
 
 
