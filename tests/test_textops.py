@@ -537,6 +537,50 @@ def test_gopher_repetition_hash_vs_string_flavor(spark):
         gopher_repetition(df, gram_key="nope")
 
 
+def test_gopher_dup_fold_matches_full_fold(spark):
+    """The r6 dup-only fold (_dup_n_local_expr: (gk, i) sort, gram length
+    priced once per duplicated-run close) computes the same duplicated-
+    gram char sum as the r5 full fold's dup field (_per_n_local_expr:
+    per-element length folds), for both gram-key flavors, across
+    randomized docs with planted exact repeats, overlapping repeats,
+    multibyte tokens, and degenerate shapes."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from nativeextractor_spark.textops.lines import (
+        _dup_n_local_expr,
+        _per_n_local_expr,
+    )
+
+    rng = random.Random(77)
+    vocab = [f"w{i}" for i in range(30)] + ["ř", "čč", "x", "yyyy"]
+    rows = [(0, None), (1, ""), (2, "single"), (3, "a b c d")]
+    for i in range(40):
+        toks = [vocab[rng.randrange(len(vocab))] for _ in range(rng.randrange(1, 60))]
+        if rng.random() < 0.7 and len(toks) >= 8:
+            # plant a repeated run (possibly overlapping its first copy)
+            s = rng.randrange(0, len(toks) - 7)
+            run = toks[s : s + rng.randrange(5, 8)]
+            ins = rng.randrange(0, len(toks))
+            toks = toks[:ins] + run + toks[ins:]
+        rows.append((10 + i, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for gram_key in ("hash", "string"):
+        text = F.coalesce(F.col("text"), F.lit(""))
+        base = df.select(
+            "doc_id", F.split(text, "[ \n]").alias("_toks")
+        ).withColumn("_tlens", F.expr("transform(_toks, t -> length(t))"))
+        for n in (5, 7, 10):
+            got = base.select(
+                "doc_id",
+                F.expr(_dup_n_local_expr(n, gram_key)).alias("dup_new"),
+                F.expr(_per_n_local_expr(n, gram_key))["dup"].alias("dup_old"),
+            )
+            bad = got.where(F.col("dup_new") != F.col("dup_old")).collect()
+            assert not bad, (gram_key, n, bad[:3])
+
+
 def test_duplicate_spans_keep_first_and_idempotent(spark):
     """ExactSubstr-style span dedup (r4): corpus-wide duplicated token
     n-grams, merged intervals, all-but-first removal, idempotent."""
