@@ -633,13 +633,18 @@ def _write_baseline_md(sf: float, timings: dict, scaling: dict, n_pages: int):
         "",
         "Sandbox evidence per driver instruction (no real cluster available).",
     ]
-    # preserve hand-maintained sections (run history, notes) below the
-    # generated block — everything from the first "### Run history" on
+    # preserve hand-maintained sections below the generated block —
+    # everything from the explicit marker on (fallback: the first
+    # "### Run history", the pre-r6 convention; the r6 scaling-mode run
+    # silently deleted the hand-added sf1/spot-check/ANN sections that
+    # sat between the generated block and the history table)
     tail = ""
     try:
         with open("BENCH/BASELINE.md") as f:
             old = f.read()
-        idx = old.find("### Run history")
+        idx = old.find("<!-- hand-maintained")
+        if idx == -1:
+            idx = old.find("### Run history")
         if idx != -1:
             tail = "\n" + old[idx:]
     except FileNotFoundError:
