@@ -905,7 +905,9 @@ def q_ann_ivf_kmeans(spark, sf_dir):
     )
 
 
-def _oracle_lloyd_kmeans(X, n_centroids: int, n_iters: int = 5, seed: int = 42):
+def _oracle_lloyd_kmeans(
+    X, n_centroids: int, n_iters: int = 5, seed: int = 42, init: str = "maxmin"
+):
     """INDEPENDENT spherical-k-means reimplementation for the oracle side
     (ADVICE r3: a bug in textops.similarity.lloyd_kmeans must not pass both
     sides of the gate). Same deterministic spec — seeded RandomState init,
@@ -918,9 +920,26 @@ def _oracle_lloyd_kmeans(X, n_centroids: int, n_iters: int = 5, seed: int = 42):
 
     X = np.asarray(X, dtype=np.float64)
     Xn = X / np.maximum(np.sqrt((X * X).sum(axis=1))[:, None], 1e-12)
-    rng = np.random.RandomState(seed)
     k = min(n_centroids, len(Xn))
-    C = Xn[rng.choice(len(Xn), size=k, replace=False)].copy()
+    if init == "maxmin":
+        # farthest-point traversal, loop-flavored (the Spark side keeps a
+        # vectorized running-max; same spec: first point, then repeatedly
+        # the point with the lowest best-cosine, first index on ties)
+        C = np.zeros((k, Xn.shape[1]))
+        C[0] = Xn[0]
+        best = [float(x @ C[0]) for x in Xn]
+        for j in range(1, k):
+            nxt = min(range(len(Xn)), key=lambda i: (best[i], i))
+            C[j] = Xn[nxt]
+            for i in range(len(Xn)):
+                d = float(Xn[i] @ C[j])
+                if d > best[i]:
+                    best[i] = d
+    elif init == "random":
+        rng = np.random.RandomState(seed)
+        C = Xn[rng.choice(len(Xn), size=k, replace=False)].copy()
+    else:
+        raise ValueError(f"init must be 'maxmin' or 'random', got {init!r}")
     for _ in range(n_iters):
         assign = [int(max(range(k), key=lambda j: float(x @ C[j]))) for x in Xn]
         for j in range(k):

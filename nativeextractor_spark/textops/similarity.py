@@ -204,20 +204,46 @@ def _seq_sq_norm(vals) -> float:
     return acc**0.5
 
 
-def lloyd_kmeans(X, n_centroids: int, n_iters: int = 5, seed: int = 42):
+def lloyd_kmeans(
+    X, n_centroids: int, n_iters: int = 5, seed: int = 42, init: str = "maxmin"
+):
     """Spherical k-means (cosine) on an in-memory sample — deterministic:
-    seeded init, float64, fixed iteration count. Returns the centroid
-    matrix as a list of lists (the coarse IVF codebook). The Spark path's
-    trainer; the DuckDB oracle deliberately retrains with the INDEPENDENT
-    ``queries._oracle_lloyd_kmeans`` reimplementation of the same spec
-    (bit-agreement pinned in tests), so a bug here cannot pass both sides
-    of the gate."""
+    float64, fixed iteration count, deterministic init. Returns the
+    centroid matrix as a list of lists (the coarse IVF codebook). The
+    Spark path's trainer; the DuckDB oracle deliberately retrains with the
+    INDEPENDENT ``queries._oracle_lloyd_kmeans`` reimplementation of the
+    same spec (bit-agreement pinned in tests), so a bug here cannot pass
+    both sides of the gate.
+
+    ``init``:
+
+    - ``"maxmin"`` (default since r6) — farthest-point traversal: first
+      sample point, then repeatedly the point with the LOWEST max-cosine
+      to any chosen centroid (first index on ties). No RNG. Chosen for
+      COVERAGE: uniform-random init draws k of N sample points and leaves
+      ~1/e of k fine clusters without a centroid (the measured 0.575-0.65
+      recall ceiling on the r5 100k/1000-cluster fixture — Lloyd
+      iterations only fix this locally); farthest-point picks one point
+      per well-separated cluster before ever doubling up.
+    - ``"random"`` — the r4/r5 behavior (seeded choice without
+      replacement); kept for comparison runs.
+    """
     X = np.asarray(X, dtype=np.float64)
     norms = np.linalg.norm(X, axis=1, keepdims=True)
     Xn = X / np.maximum(norms, 1e-12)
-    rng = np.random.RandomState(seed)
     k = min(n_centroids, len(Xn))
-    C = Xn[rng.choice(len(Xn), size=k, replace=False)].copy()
+    if init == "maxmin":
+        C = np.empty((k, Xn.shape[1]))
+        C[0] = Xn[0]
+        best = Xn @ C[0]
+        for j in range(1, k):
+            C[j] = Xn[int(np.argmin(best))]
+            best = np.maximum(best, Xn @ C[j])
+    elif init == "random":
+        rng = np.random.RandomState(seed)
+        C = Xn[rng.choice(len(Xn), size=k, replace=False)].copy()
+    else:
+        raise ValueError(f"init must be 'maxmin' or 'random', got {init!r}")
     for _ in range(n_iters):
         assign = (Xn @ C.T).argmax(axis=1)
         for j in range(k):
@@ -283,6 +309,64 @@ def _nearest_cell_structs(vec, cents):
     return F.array(*entries)
 
 
+def _assign_cells_arrow(
+    df: DataFrame, vec_col: str, cents, nprobe: int
+) -> DataFrame:
+    """Top-``nprobe`` nearest-centroid cells per row via ``mapInPandas``:
+    one float64 matmul per Arrow batch against the (broadcast-serialized)
+    normalized codebook. The scale path for LARGE codebooks — the
+    plan-literal projection (:func:`_nearest_cell_structs`) inlines
+    k×dim literals into the expression tree and stops being viable
+    around a few hundred centroids, exactly where a fine-clustered
+    corpus needs thousands of cells (the r5 100k/1000-cluster fixture).
+    Arrow-batched NumPy, never per-row Python. Ties: ``cos`` is rounded
+    to 6 decimals and sorted stably, so equal-cosine cells order by
+    ascending centroid id — the literal engine's (c desc, cent_id asc)
+    tie-break (np.round half-even vs Spark round half-up can differ on
+    an exact 7th-decimal tie; not oracle-pinned, the literal engine is
+    the contract path). Output: input columns + ``cell`` (int), one row
+    per (input row, probed cell)."""
+    import pandas as pd
+
+    C = np.asarray([cv for _, cv in cents], dtype=np.float64)
+    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    cids = np.asarray([int(cid) for cid, _ in cents])
+    from pyspark.sql import types as T
+
+    # fresh StructType: StructType.add MUTATES (and returns) the receiver,
+    # and df.schema hands back a live object — appending to it corrupts
+    # the input frame's own column list
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("cell", T.IntegerType())]
+    )
+    nprobe = min(nprobe, len(cids))
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            Vn = V / np.maximum(
+                np.linalg.norm(V, axis=1, keepdims=True), 1e-12
+            )
+            cos = np.round(Vn @ C.T, 6)
+            if nprobe == 1:
+                out = pdf.copy()
+                out["cell"] = cids[cos.argmax(axis=1)].astype("int32")
+                yield out
+            else:
+                top = np.argsort(-cos, axis=1, kind="stable")[:, :nprobe]
+                out = pdf.iloc[
+                    np.repeat(np.arange(len(pdf)), nprobe)
+                ].reset_index(drop=True)
+                out["cell"] = cids[top.ravel()].astype("int32")
+                yield out
+
+    return df.mapInPandas(gen, schema)
+
+
 def cosine_topk_ivf(
     vectors: DataFrame,
     queries: DataFrame,
@@ -293,6 +377,8 @@ def cosine_topk_ivf(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     codebook="seed",
+    assign_engine: str = "auto",
+    train_sample: int = 4096,
 ) -> DataFrame:
     """Approximate top-k via IVF coarse quantization: assign every vector to
     its nearest centroid cell, probe only each query's ``nprobe`` nearest
@@ -311,6 +397,16 @@ def cosine_topk_ivf(
     deterministic sample — still oracle-checkable by inlining the trained
     centroids, see queries.py); or an explicit list of centroid vectors.
     Returns (query_id, vec_id, cosine, rank).
+
+    ``assign_engine`` picks how rows meet the codebook: ``"literal"`` =
+    the shuffle-free plan-literal projection above (the contract/oracle
+    path; the expression tree carries k×dim literals, viable to a few
+    hundred centroids); ``"kernel"`` = :func:`_assign_cells_arrow`
+    (Arrow-batched NumPy matmul, the scale path — a 100k/1000-cluster
+    corpus needs ~1000 cells, far past what plan literals can carry);
+    ``"auto"`` (default) = kernel when the codebook exceeds 64 centroids.
+    ``train_sample`` sizes the ``"kmeans"`` training sample — keep it a
+    few × n_centroids (the default 4096 is thin for 1000+ cells).
     """
     if codebook == "seed":
         cents = [
@@ -321,28 +417,46 @@ def cosine_topk_ivf(
         ]
     elif codebook == "kmeans":
         cents = list(
-            enumerate(train_ivf_codebook(vectors, n_centroids, id_col, vec_col))
+            enumerate(
+                train_ivf_codebook(
+                    vectors, n_centroids, id_col, vec_col, sample=train_sample
+                )
+            )
         )
     else:
         cents = list(enumerate(codebook))
+    if assign_engine not in ("auto", "literal", "kernel"):
+        raise ValueError(
+            f"assign_engine must be 'auto', 'literal' or 'kernel', "
+            f"got {assign_engine!r}"
+        )
+    use_kernel = assign_engine == "kernel" or (
+        assign_engine == "auto" and len(cents) > 64
+    )
 
     v = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
-    structs_v = _nearest_cell_structs(F.col("_v"), cents)
-    assigned = v.withColumn("cell", -F.array_max(structs_v).getField("n"))
-
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     )
-    # reverse(array_sort) = (cosine desc, cent_id asc) — row_number parity
-    structs_q = _nearest_cell_structs(F.col("_qv"), cents)
-    probes = (
-        q.withColumn(
-            "_probe",
-            F.explode(F.slice(F.reverse(F.array_sort(structs_q)), 1, nprobe)),
+    if use_kernel:
+        assigned = _assign_cells_arrow(v, "_v", cents, 1)
+        probes = _assign_cells_arrow(q, "_qv", cents, nprobe)
+    else:
+        structs_v = _nearest_cell_structs(F.col("_v"), cents)
+        assigned = v.withColumn("cell", -F.array_max(structs_v).getField("n"))
+        # reverse(array_sort) = (cosine desc, cent_id asc) — row_number
+        # parity
+        structs_q = _nearest_cell_structs(F.col("_qv"), cents)
+        probes = (
+            q.withColumn(
+                "_probe",
+                F.explode(
+                    F.slice(F.reverse(F.array_sort(structs_q)), 1, nprobe)
+                ),
+            )
+            .withColumn("cell", -F.col("_probe").getField("n"))
+            .drop("_probe")
         )
-        .withColumn("cell", -F.col("_probe").getField("n"))
-        .drop("_probe")
-    )
     sim = (
         assigned.join(F.broadcast(probes), "cell")
         .withColumn(
