@@ -669,6 +669,12 @@ def main() -> None:
         _drain_python_workers()
         print(json.dumps(_run_scaling(sf)))
         return
+    # stamp the measurement window's quality into every bench JSON: the
+    # quiet value of hw_slowdown_8_to_32 on this VM is ~1.14; readings
+    # much above it mean co-tenant memory-bandwidth load was inflating
+    # the shuffle-heavy rows while this ran (r6: identical back-to-back
+    # runs swung 1.4-3x purely with this number — see BENCH/BASELINE.md)
+    window_cal = _hw_calibration()
     spark = _mk_spark()
     t0 = time.perf_counter()
     timings, cold, single_pass = _headline(spark, sf)
@@ -694,6 +700,7 @@ def main() -> None:
         "n_pages": n_pages,
         "docs_per_sec_extract": round(n_pages / timings["occurrences"], 1),
         "cpus": CPUS,
+        "window_calibration_prerun": window_cal,
     }
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":
         spark.stop()
