@@ -1,0 +1,304 @@
+"""Oversized-document chunked scan: one logical stream across many rows.
+
+The reference scans ONE stream of up to 2^48 bytes through an mmap window
+(``/root/reference/README.md:12``, ``src/stream.c:53-63``); its extractor
+loop advances miners a batch at a time and carries two pieces of state
+across batch boundaries: each miner's ``end_last`` (leftmost non-overlap,
+``miner.c:25-33``) and the extractor's ``last_max`` pre-filter that drops
+occurrences ending inside already-covered territory
+(``extractor.c:69-76``). The Spark data model is document-per-row, which
+caps a single document at the JVM string / Arrow cell limit (~2 GB) and,
+in practice, at per-row kernel memory. This module lifts that cap by
+splitting one document's text over MANY rows and re-running the same
+cross-batch semantics at the row seams:
+
+1. **chunk** — the text is cut into ``chunk_chars`` nominal slices; each
+   chunk row carries ``lookbehind`` context chars before its nominal
+   start (rebuilding scan state for matches that straddle the seam) and
+   ``overlap`` lookahead chars after its nominal end (so a match
+   STARTING in the nominal range is seen whole).
+2. **scan + stitch** — chunk rows are hash-partitioned by document and
+   sorted by (doc, chunk_id); one ``mapInPandas`` pass walks them in
+   order, scanning each window with the standard miner kernel and
+   folding the reference's cross-batch state: occurrences starting
+   outside the nominal range are dropped (the neighbour chunk owns
+   them), per-miner ``end_last`` suppresses cross-seam overlaps exactly
+   as the in-process batched scan does (``glob_exact.batched_extractor_
+   scan``, guards updated even for occurrences later dropped at
+   emission), and the union is filtered by the in-chunk enclosed mask
+   plus the cross-chunk ``last_max`` rule before offsets are rebased to
+   absolute byte + unicode positions.
+
+Exactness: because nominal ranges are disjoint and ordered, an
+occurrence can only be enclosed by one from the SAME chunk (caught by
+the exact in-chunk mask) or by an earlier-starting one from a previous
+chunk — and for cross-chunk pairs ``end <= last_max`` is equivalent to
+enclosure (an earlier chunk's occurrence always starts no later), so
+the ``last_max`` pre-filter is NOT an approximation here: chunked
+output == whole-document output whenever every match and every
+cross-seam suppression chain fits inside ``overlap``/``lookbehind``
+(pinned by goldens at chunk sizes down to 1 char). Matches longer than
+``overlap`` are truncated out — size ``overlap`` to the longest span
+your miners can emit.
+
+Scale shape: a document's chunks process sequentially inside one task
+(the reference's single-stream scan does the same work on one core),
+but memory is O(chunk + overlap) per row and O(Arrow batch) per task —
+a 2^48-byte stream flows through without ever materializing; DIFFERENT
+documents parallelize across tasks as usual. For streams that never fit
+one row at all (the true 2^48 case), ingest can produce the chunk rows
+directly and call :func:`extract_occurrences_from_chunks` — the SQL
+chunker here is for documents that fit a row but not a kernel.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+
+from nativeextractor_spark.functions.unicode import char_byte_offsets
+from nativeextractor_spark.miners.base import Miner
+from nativeextractor_spark.operators.extract import (
+    OCCURRENCE_SCHEMA,
+    enclosed_keep_mask,
+)
+
+CHUNK_SCHEMA = (
+    "{key} string, chunk_id long, lb int, n_nominal int, window string"
+)
+
+
+def chunk_pages(
+    pages_df,
+    *,
+    chunk_chars: int,
+    overlap_chars: int = 4096,
+    key_col: str = "url",
+    text_col: str = "text",
+):
+    """pages (key, text, ...) → chunk rows (key, chunk_id, lb, n_nominal,
+    window): JVM-side slicing, one output row per ``chunk_chars`` of
+    text. ``lb`` is the lookbehind actually included (0 for chunk 0),
+    ``n_nominal`` the chars this chunk owns, ``window`` the text slice
+    [nominal_start - lb, nominal_end + overlap) (clamped at the ends).
+    Unicode-char addressed throughout; byte bases are accumulated by the
+    stitch kernel, never stored."""
+    from pyspark.sql import functions as F
+
+    if chunk_chars < 1:
+        raise ValueError(f"chunk_chars must be >= 1, got {chunk_chars}")
+    if overlap_chars < 1:
+        raise ValueError(f"overlap_chars must be >= 1, got {overlap_chars}")
+    c, ov = int(chunk_chars), int(overlap_chars)
+    # lookbehind clamps to the text available before the nominal start
+    # (Spark substring treats negative starts as end-relative)
+    arr = (
+        f"transform(sequence(0, int(floor((greatest(length(_t), 1) - 1) / {c}))),"
+        " k -> struct("
+        "   k AS chunk_id,"
+        f"  int(least({ov}, k * {c})) AS lb,"
+        f"  int(least({c}, length(_t) - k * {c})) AS n_nominal,"
+        f"  substring(_t, k * {c} + 1 - int(least({ov}, k * {c})),"
+        f"    int(least({ov}, k * {c})) + least({c}, length(_t) - k * {c}) + {ov})"
+        "    AS window))"
+    )
+    return (
+        pages_df.select(
+            F.col(key_col).cast("string").alias(key_col),
+            F.coalesce(F.col(text_col), F.lit("")).alias("_t"),
+        )
+        .select(key_col, F.explode(F.expr(arr)).alias("_c"))
+        .select(
+            key_col,
+            F.col("_c.chunk_id").alias("chunk_id"),
+            F.col("_c.lb").alias("lb"),
+            F.col("_c.n_nominal").alias("n_nominal"),
+            F.col("_c.window").alias("window"),
+        )
+    )
+
+
+def _stitch_kernel(miners: Sequence[Miner], no_enclosed: bool, key_col: str):
+    """Sequential per-document fold over partition-sorted chunk rows.
+    State (reset per document): unicode/byte base of the next nominal
+    start, per-miner ``end_last`` and the document ``last_max`` (both in
+    BYTE offsets, matching the reference's stream positions)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cur_key = None
+        char_base = byte_base = 0
+        end_last: list[int] = []
+        last_max = 0
+
+        def scan_rows(pdf: pd.DataFrame):
+            nonlocal cur_key, char_base, byte_base, end_last, last_max
+            for key, lb, n_nom, window in zip(
+                pdf[key_col], pdf["lb"], pdf["n_nominal"], pdf["window"]
+            ):
+                if key != cur_key:
+                    cur_key = key
+                    char_base = byte_base = 0
+                    end_last = [0] * len(miners)
+                    last_max = 0
+                lb = int(lb)
+                n_nom = int(n_nom)
+                if not isinstance(window, str) or not window or n_nom == 0:
+                    continue
+                if window.isascii():
+                    offs = None
+                    lb_bytes = lb
+                    nom_bytes = n_nom
+                else:
+                    offs = char_byte_offsets(window)
+                    lb_bytes = int(offs[lb])
+                    nom_bytes = int(offs[min(lb + n_nom, len(window))]) - lb_bytes
+                w_char = char_base - lb  # abs char offset of window[0]
+                w_byte = byte_base - lb_bytes
+                us_l: list[int] = []
+                ue_l: list[int] = []
+                ps_l: list[int] = []
+                pe_l: list[int] = []
+                lbl_l: list[str] = []
+                prb_l: list[float] = []
+                for mi, m in enumerate(miners):
+                    occs = m.find_batch([window])[0]
+                    for occ in occs:
+                        if not (lb <= occ.ustart < lb + n_nom):
+                            continue  # neighbour chunk owns this start
+                        if offs is None:
+                            p0, p1 = occ.ustart, occ.uend
+                        else:
+                            p0, p1 = int(offs[occ.ustart]), int(offs[occ.uend])
+                        ap0, ap1 = w_byte + p0, w_byte + p1
+                        # per-miner cross-seam non-overlap: the reference
+                        # miner never attempts before its last end; its
+                        # guards advance even when the extractor later
+                        # drops the occurrence (batched_extractor_scan)
+                        if ap0 < end_last[mi]:
+                            continue
+                        end_last[mi] = max(end_last[mi], ap1)
+                        us_l.append(w_char + occ.ustart)
+                        ue_l.append(w_char + occ.uend)
+                        ps_l.append(ap0)
+                        pe_l.append(ap1)
+                        lbl_l.append(occ.label)
+                        prb_l.append(occ.prob)
+                        # str materialized below from the window slice
+                if us_l:
+                    us = np.asarray(us_l, dtype=np.int64)
+                    ue = np.asarray(ue_l, dtype=np.int64)
+                    ps = np.asarray(ps_l, dtype=np.int64)
+                    pe = np.asarray(pe_l, dtype=np.int64)
+                    keep = np.ones(us.size, dtype=bool)
+                    if no_enclosed:
+                        # cross-chunk: for pairs from different chunks,
+                        # end <= last_max <=> enclosed (see module doc)
+                        if last_max > 0:
+                            keep &= pe > last_max
+                        # in-chunk: exact mask (identical spans survive)
+                        sub = enclosed_keep_mask(ps[keep], pe[keep])
+                        idx = np.flatnonzero(keep)
+                        keep[idx[~sub]] = False
+                        if keep.any():
+                            last_max = max(last_max, int(pe[keep].max()))
+                    us, ue, ps, pe = us[keep], ue[keep], ps[keep], pe[keep]
+                    lbl_l = [l for l, k in zip(lbl_l, keep) if k]
+                    prb_l = [p for p, k in zip(prb_l, keep) if k]
+                    if us.size:
+                        lens = pe - ps
+                        order = np.lexsort(
+                            (np.asarray(lbl_l, dtype=object), lens, ps)
+                        )
+                        yield pd.DataFrame(
+                            {
+                                key_col: [cur_key] * us.size,
+                                "pos": ps[order],
+                                "upos": us[order],
+                                "len": lens[order].astype(np.int32),
+                                "ulen": (ue - us)[order].astype(np.int32),
+                                "label": [lbl_l[i] for i in order],
+                                "prob": np.asarray(prb_l, dtype=np.float32)[
+                                    order
+                                ],
+                                "str": [
+                                    window[u - w_char : v - w_char]
+                                    for u, v in zip(us[order], ue[order])
+                                ],
+                            }
+                        )
+                char_base += n_nom
+                byte_base += nom_bytes
+
+        empty = pd.DataFrame(
+            {
+                key_col: pd.Series([], dtype=object),
+                "pos": pd.Series([], dtype=np.int64),
+                "upos": pd.Series([], dtype=np.int64),
+                "len": pd.Series([], dtype=np.int32),
+                "ulen": pd.Series([], dtype=np.int32),
+                "label": pd.Series([], dtype=object),
+                "prob": pd.Series([], dtype=np.float32),
+                "str": pd.Series([], dtype=object),
+            }
+        )
+        produced = False
+        for pdf in batches:
+            for out in scan_rows(pdf):
+                produced = True
+                yield out
+        if not produced:
+            yield empty
+
+    return kernel
+
+
+def extract_occurrences_from_chunks(
+    chunks_df,
+    miners: Sequence[Miner],
+    *,
+    no_enclosed: bool = True,
+    key_col: str = "url",
+):
+    """Chunk rows (key, chunk_id, lb, n_nominal, window) → occurrences
+    with ABSOLUTE byte (pos) and unicode (upos) offsets — same schema as
+    :func:`operators.extract.extract_occurrences`, drop-in. Chunks are
+    co-located per document and walked in order (see module docstring);
+    output arrives sorted (pos asc, len asc) per document because chunk
+    nominal ranges are disjoint and each chunk's batch is sorted."""
+    from pyspark.sql import functions as F
+
+    schema = OCCURRENCE_SCHEMA.replace("url string", f"{key_col} string", 1)
+    ordered = chunks_df.repartition(F.col(key_col)).sortWithinPartitions(
+        key_col, "chunk_id"
+    )
+    kernel = _stitch_kernel(list(miners), no_enclosed, key_col)
+    return ordered.mapInPandas(kernel, schema=schema)
+
+
+def extract_occurrences_chunked(
+    pages_df,
+    miners: Sequence[Miner],
+    *,
+    chunk_chars: int = 1 << 20,
+    overlap_chars: int = 4096,
+    no_enclosed: bool = True,
+    key_col: str = "url",
+    text_col: str = "text",
+):
+    """Whole-pipeline convenience: chunk + scan + stitch. Equivalent to
+    ``extract_occurrences(pages_df, miners)`` for every match shorter
+    than ``overlap_chars`` (goldens pin equality on the reference
+    fixture texts down to 1-char chunks), with per-row memory bounded by
+    O(chunk_chars + overlap_chars) regardless of document size."""
+    chunks = chunk_pages(
+        pages_df,
+        chunk_chars=chunk_chars,
+        overlap_chars=overlap_chars,
+        key_col=key_col,
+        text_col=text_col,
+    )
+    return extract_occurrences_from_chunks(
+        chunks, miners, no_enclosed=no_enclosed, key_col=key_col
+    )
