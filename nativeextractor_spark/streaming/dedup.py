@@ -133,8 +133,23 @@ def migrate_band_state(spark: SparkSession, state_path: str) -> dict:
     ``{"rows": n}``."""
     from pyspark.sql.utils import AnalysisException
 
-    from nativeextractor_spark.kg.graph import _hadoop_fs, merge_into
+    from nativeextractor_spark.kg.graph import _fs_exists, _hadoop_fs, merge_into
 
+    if not _fs_exists(spark, state_path):
+        # ADVICE r6: this is a public recovery-time entry point — an
+        # ABSENT live table next to an interrupted-swap leftover must
+        # raise (stamping would create the directory and neutralize the
+        # _read_band_state leftover guard, silently restarting dedup
+        # from empty state), mirroring _read_band_state
+        for suffix in _SWAP_SUFFIXES:
+            leftover = state_path.rstrip("/") + suffix
+            if _fs_exists(spark, leftover):
+                raise RuntimeError(
+                    f"band-state table missing at {state_path} but an "
+                    f"interrupted swap left {leftover} — refusing to "
+                    "migrate/stamp an empty table over it. Recover by "
+                    f"renaming the leftover back to {state_path}."
+                )
     try:
         df = spark.read.parquet(state_path)
     except AnalysisException:
@@ -144,9 +159,13 @@ def migrate_band_state(spark: SparkSession, state_path: str) -> dict:
         return {"rows": 0}
     if "batch_id" not in df.columns:
         df = df.withColumn("batch_id", F.lit(-1).cast("long"))
+    # no localCheckpoint (ADVICE r6): pinning a corpus-lifetime state
+    # table in executor local storage defeats the bounded-memory design;
+    # the live table stays untouched until the post-write swap, so the
+    # count and the rewrite may each scan it independently
     df = df.select(
         *[F.col(f.name).cast(f.dataType) for f in BAND_STATE_SCHEMA]
-    ).localCheckpoint(eager=True)
+    )
     rows = df.count()
     tmp_path = state_path.rstrip("/") + ".migrate"
     fs, jtmp = _hadoop_fs(spark, tmp_path)
@@ -161,6 +180,22 @@ def migrate_band_state(spark: SparkSession, state_path: str) -> dict:
     _swap_state_table(spark, state_path, tmp_path)
     _stamp_layout(spark, state_path)
     return {"rows": rows}
+
+
+def _existing_buckets(
+    spark: SparkSession, state_path: str, touched: set[int]
+) -> list[int]:
+    """The subset of ``touched`` bucket ids whose ``_bucket=`` directory
+    exists — one existence probe per touched bucket, no directory
+    listing (per-batch filesystem work stays bounded by the batch's
+    bucket spread even on a corpus-lifetime state table)."""
+    from nativeextractor_spark.kg.graph import _fs_exists
+
+    return sorted(
+        b
+        for b in touched
+        if _fs_exists(spark, f"{state_path.rstrip('/')}/_bucket={b}")
+    )
 
 
 def _read_band_state(
@@ -185,11 +220,7 @@ def _read_band_state(
     partitions), not by corpus lifetime. Rows outside those buckets
     cannot equi-join the batch on (band, min_hash) — same results as the
     full scan by construction."""
-    from nativeextractor_spark.kg.graph import (
-        N_BUCKETS,
-        _bucket_dirs,
-        _fs_exists,
-    )
+    from nativeextractor_spark.kg.graph import N_BUCKETS, _fs_exists
 
     if not _fs_exists(spark, state_path):
         for suffix in _SWAP_SUFFIXES:
@@ -215,7 +246,11 @@ def _read_band_state(
             r[0]
             for r in prune_bands.select(bucket.alias("_b")).distinct().collect()
         }
-        readable = sorted(touched & _bucket_dirs(spark, state_path))
+        # r7 (TODO #5): filesystem work is bounded by the TOUCHED bucket
+        # count — each touched bucket dir is existence-probed directly
+        # instead of listing the whole state directory (whose width is
+        # corpus-lifetime N_BUCKETS regardless of batch size)
+        readable = _existing_buckets(spark, state_path, touched)
         if not readable:
             return spark.createDataFrame([], BAND_STATE_SCHEMA)
         return (
@@ -469,7 +504,9 @@ def compact_band_state(
     state = _read_band_state(spark, state_path)
     if state is None:
         return {"rows_before": 0, "rows_after": 0, "docs_dropped": 0}
-    state = state.localCheckpoint(eager=True)
+    # no localCheckpoint (ADVICE r6, as in migrate_band_state): the live
+    # table is static until the swap, so re-derivation is deterministic
+    # and memory stays bounded; maintenance trades a few extra scans
     rows_before = state.count()
     latest = state.groupBy("doc_id").agg(
         F.max("batch_id").alias("_latest_batch")
@@ -483,7 +520,6 @@ def compact_band_state(
         state.join(latest, "doc_id")
         .where(F.col("batch_id") == F.col("_latest_batch"))
         .select("doc_id", "band", "min_hash", "batch_id")
-        .localCheckpoint(eager=True)
     )
     rows_after = compacted.count()
     # swap via the Hadoop FS (works for file:/hdfs:/s3a:): write the

@@ -505,3 +505,95 @@ def test_band_state_interrupted_swap_raises(spark, tmp_path_factory):
     # recovery (rename back) restores normal reads
     assert fs.rename(jcompact, jstate)
     assert _read_band_state(spark, state).count() == 8
+
+
+def test_band_state_listing_bounded_by_touched_buckets(
+    spark, tmp_path_factory, monkeypatch
+):
+    """r7 (TODO #5): per-batch FILE LISTING, not just reading, is bounded
+    by the batch's bucket spread — each touched bucket is existence-probed
+    directly; the corpus-lifetime state directory is never enumerated."""
+    from pyspark.sql import functions as F
+
+    import nativeextractor_spark.kg.graph as graph
+    from nativeextractor_spark.kg.graph import merge_into
+    from nativeextractor_spark.streaming.dedup import (
+        BAND_STATE_LAYOUT,
+        _read_band_state,
+        _stamp_layout,
+    )
+
+    state = str(tmp_path_factory.mktemp("listing_state")) + "/bands"
+    grown = spark.range(2000).select(
+        F.concat(F.lit("d"), (F.col("id") / 8).cast("long")).alias("doc_id"),
+        (F.col("id") % 8).cast("int").alias("band"),
+        F.xxhash64("id").alias("min_hash"),
+        F.lit(0).cast("long").alias("batch_id"),
+    )
+    merge_into(
+        grown, state,
+        keys=BAND_STATE_LAYOUT["keys"],
+        bucket_cols=BAND_STATE_LAYOUT["bucket_cols"],
+    )
+    _stamp_layout(spark, state)
+
+    probe = grown.where(F.col("doc_id") == "d3").select(
+        "doc_id", "band", "min_hash"
+    ).localCheckpoint(eager=True)
+    n_touched = probe.select(
+        F.pmod(F.xxhash64("band", "min_hash"), F.lit(graph.N_BUCKETS))
+    ).distinct().count()
+
+    probed_buckets = []
+    real_exists = graph._fs_exists
+
+    def spy_exists(sp, path):
+        if "_bucket=" in path:
+            probed_buckets.append(path)
+        return real_exists(sp, path)
+
+    monkeypatch.setattr(graph, "_fs_exists", spy_exists)
+    pruned = _read_band_state(spark, state, prune_bands=probe)
+    assert len(probed_buckets) == n_touched <= 8
+    # and the pruned frame still matches what a full scan joins
+    key = ["band", "min_hash"]
+    assert pruned.join(probe.select(*key), key).count() == 8
+
+
+def test_migrate_absent_live_with_swap_leftover_raises(
+    spark, tmp_path_factory
+):
+    """ADVICE r6 (low): migrate_band_state called directly while the live
+    table is ABSENT next to an interrupted-swap leftover must raise, not
+    stamp an empty table over the recoverable state."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from nativeextractor_spark.kg.graph import _hadoop_fs, merge_into
+    from nativeextractor_spark.streaming.dedup import (
+        BAND_STATE_LAYOUT,
+        _read_band_state,
+        migrate_band_state,
+    )
+
+    state = str(tmp_path_factory.mktemp("mig_state")) + "/bands"
+    rows = spark.range(8).select(
+        F.lit("docA").alias("doc_id"),
+        F.col("id").cast("int").alias("band"),
+        F.xxhash64("id").alias("min_hash"),
+        F.lit(0).cast("long").alias("batch_id"),
+    )
+    merge_into(
+        rows, state,
+        keys=BAND_STATE_LAYOUT["keys"],
+        bucket_cols=BAND_STATE_LAYOUT["bucket_cols"],
+    )
+    fs, jstate = _hadoop_fs(spark, state)
+    _, jold = _hadoop_fs(spark, state + ".old")
+    assert fs.rename(jstate, jold)
+    with pytest.raises(RuntimeError, match="interrupted swap"):
+        migrate_band_state(spark, state)
+    # recovery restores both migration and reads
+    assert fs.rename(jold, jstate)
+    assert migrate_band_state(spark, state)["rows"] == 8
+    assert _read_band_state(spark, state).count() == 8
