@@ -209,7 +209,10 @@ class GazetteerMiner(Miner):
 
 
 def prepass_resolve(
-    docs_df, miner: GazetteerMiner, text_col: str = "text"
+    docs_df,
+    miner: GazetteerMiner,
+    text_col: str = "text",
+    max_resolved_tokens: int = 2_000_000,
 ) -> GazetteerMiner:
     """Corpus-level distinct-token pre-pass (amortized trie probing).
 
@@ -272,5 +275,23 @@ def prepass_resolve(
         .distinct()
     )
     matched = tokens.mapInPandas(probe_kernel, schema="token string")
-    hits = frozenset(r.token for r in matched.collect())
+    # r7 (VERDICT #6): the matched set is bounded by the dictionary's
+    # fuzz neighborhood, not the corpus vocabulary — but that bound is
+    # still proportional to dictionary size times the 75%-prefix
+    # neighborhood, which an adversarial or agglutinative corpus can
+    # inflate. Cap the driver collect EXPLICITLY (one action: limit
+    # cap+1) and fail with guidance instead of silently materializing an
+    # unbounded frozenset; direct mining needs no resolved set and is
+    # the documented fallback.
+    rows = matched.limit(max_resolved_tokens + 1).collect()
+    if len(rows) > max_resolved_tokens:
+        raise ValueError(
+            f"prepass_resolve: > {max_resolved_tokens} distinct corpus "
+            "tokens match the dictionary — the resolved-set broadcast "
+            "would not be meaningfully smaller than per-batch probing. "
+            "Use the miner directly (find_batch already dedups probes "
+            "per batch), or raise max_resolved_tokens if the driver can "
+            "hold the set."
+        )
+    hits = frozenset(r.token for r in rows)
     return miner.with_resolved_tokens(hits)

@@ -117,7 +117,19 @@ def curate_corpus(
     floor = min(
         collapsed.sparkSession.sparkContext.defaultParallelism, 200
     )
-    if collapsed.rdd.getNumPartitions() < floor:
+    # the .rdd partition probe EXECUTES the collapse on the materialized
+    # frame; under staging mode "none" (identity stage) it would run the
+    # collapse shuffle once for the probe and AGAIN for every consumer of
+    # the unstaged plan — so probe only when a materializing stage mode
+    # holds the result (ADVICE r6). Without staging, AQE's degenerate
+    # coalesce can't be observed cheaply; "none" is a debugging mode and
+    # documented as such.
+    from nativeextractor_spark.staging import staging_mode
+
+    if (
+        staging_mode() != "none"
+        and collapsed.rdd.getNumPartitions() < floor
+    ):
         collapsed = collapsed.repartition(floor, "_id").transform(
             stage("curate")
         )

@@ -309,6 +309,14 @@ def _nearest_cell_structs(vec, cents):
     return F.array(*entries)
 
 
+def _round6_half_up(x: "np.ndarray") -> "np.ndarray":
+    """6-decimal rounding with Spark's ROUND semantics (HALF_UP, away
+    from zero) so the kernel engine's cosine ties match the literal
+    engine bit-for-bit; np.round is half-even and can differ on an
+    exactly-representable 7th-decimal half."""
+    return np.copysign(np.floor(np.abs(x) * 1e6 + 0.5), x) / 1e6
+
+
 def _assign_cells_arrow(
     df: DataFrame, vec_col: str, cents, nprobe: int
 ) -> DataFrame:
@@ -319,13 +327,14 @@ def _assign_cells_arrow(
     k×dim literals into the expression tree and stops being viable
     around a few hundred centroids, exactly where a fine-clustered
     corpus needs thousands of cells (the r5 100k/1000-cluster fixture).
-    Arrow-batched NumPy, never per-row Python. Ties: ``cos`` is rounded
-    to 6 decimals and sorted stably, so equal-cosine cells order by
-    ascending centroid id — the literal engine's (c desc, cent_id asc)
-    tie-break (np.round half-even vs Spark round half-up can differ on
-    an exact 7th-decimal tie; not oracle-pinned, the literal engine is
-    the contract path). Output: input columns + ``cell`` (int), one row
-    per (input row, probed cell)."""
+    Arrow-batched NumPy, never per-row Python. Ties (r7, ADVICE): the
+    engines are exactly interchangeable — ``cos`` is rounded to 6
+    decimals with the SAME half-up-away-from-zero rule Spark's
+    ``round()`` applies (:func:`_round6_half_up`; np.round's half-even
+    could flip an exact 7th-decimal tie), and the stable argsort over
+    the ascending-cent_id codebook reproduces the literal engine's
+    (c desc, cent_id asc) order. Output: input columns + ``cell``
+    (int), one row per (input row, probed cell)."""
     import pandas as pd
 
     C = np.asarray([cv for _, cv in cents], dtype=np.float64)
@@ -351,7 +360,7 @@ def _assign_cells_arrow(
             Vn = V / np.maximum(
                 np.linalg.norm(V, axis=1, keepdims=True), 1e-12
             )
-            cos = np.round(Vn @ C.T, 6)
+            cos = _round6_half_up(Vn @ C.T)
             if nprobe == 1:
                 out = pdf.copy()
                 out["cell"] = cids[cos.argmax(axis=1)].astype("int32")
