@@ -1822,6 +1822,10 @@ FROM tot t LEFT JOIN reb ON reb.doc_id = t.doc_id
 """
 
 
+_CURATE_SPAN_N = 3  # span-dedup gram length for the contract corpus (see
+# _DUP_SPAN_N: short random-word sf docs recur at 3 tokens, not 8)
+
+
 def _curate_input(spark, sf_dir):
     """Deterministic curation corpus with work for every pipeline stage:
     the multi-line docs (boilerplate header + intra-doc dup lines) plus
@@ -1849,6 +1853,13 @@ def _curate(spark, sf_dir):
         _curate_input(spark, sf_dir),
         text_col="text",
         id_col="doc_id",
+        # r7 (VERDICT #4): the FULL Lee-et-al-style stack — ExactSubstr
+        # span dedup ON between line dedup and near dedup, replayed
+        # stage-by-stage by the oracle (f3 -> f3s); n=3 because the sf
+        # documents are short random-word texts (same rationale as
+        # _DUP_SPAN_N)
+        span_dedup=True,
+        span_dedup_n_tokens=_CURATE_SPAN_N,
         # oracle-replicable LSH flavor (md5 char-5 shingles); everything
         # else is the production default — incl. the span repetition rule
         lsh_k=5,
@@ -1891,6 +1902,7 @@ def q_curate_corpus_metrics(spark, sf_dir):
             "after_filters",
             "after_exact_dedup",
             "after_line_dedup",
+            "span_dedup_removed_chars",
             "after_near_dedup",
             "n_output",
         )
@@ -1989,7 +2001,36 @@ kept2 AS (SELECT r.id, r.pos, r.line FROM lr2 r JOIN lf USING (line)
 f3 AS MATERIALIZED (SELECT f2.id, coalesce(reb.text, '') AS text FROM f2 LEFT JOIN
         (SELECT id, string_agg(line, chr(10) ORDER BY pos) AS text
          FROM kept2 GROUP BY id) reb USING (id)),
-sh2 AS (SELECT id, lower(text) AS t FROM f3),
+sp_tk AS (SELECT id, text, regexp_split_to_array(text, '[ \\n]') AS toks FROM f3),
+sp_tk2 AS (SELECT *, list_transform(toks, t -> length(t)) AS tlens FROM sp_tk),
+sp_tk3 AS (SELECT *, list_transform(range(1, len(toks) + 1),
+                  i -> coalesce(list_sum(tlens[1:i-1]), 0) + (i - 1)) AS starts FROM sp_tk2),
+sp_g AS (SELECT id, unnest(list_transform(range(1, greatest(len(toks) - {_CURATE_SPAN_N} + 1, 0) + 1),
+          i -> struct_pack(gram := array_to_string(toks[i:i+{_CURATE_SPAN_N}-1], ' '),
+                           s := starts[i],
+                           e := starts[i+{_CURATE_SPAN_N}-1] + tlens[i+{_CURATE_SPAN_N}-1]))) AS o
+      FROM sp_tk3),
+sp_go AS (SELECT id, (o).gram AS gram, (o).s AS s, (o).e AS e FROM sp_g),
+sp_el AS (SELECT id, s, e FROM
+         (SELECT *, row_number() OVER (PARTITION BY gram ORDER BY id, s, e) AS rn FROM sp_go)
+       WHERE rn >= 2),
+sp_i1 AS (SELECT *, max(e) OVER (PARTITION BY id ORDER BY s, e
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax FROM sp_el),
+sp_i2 AS (SELECT *, sum(CASE WHEN prevmax IS NULL OR s > prevmax THEN 1 ELSE 0 END)
+         OVER (PARTITION BY id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS isl FROM sp_i1),
+sp_m AS MATERIALIZED (SELECT id, isl, min(s) AS mn, max(e) AS mx FROM sp_i2 GROUP BY id, isl),
+sp_segs AS (SELECT id, coalesce(lag(mx) OVER (PARTITION BY id ORDER BY mn), 0) AS p,
+                mn AS q FROM sp_m),
+sp_head AS (SELECT s.id,
+           string_agg(substring(f.text, (s.p + 1)::BIGINT, (s.q - s.p)::BIGINT), '' ORDER BY s.p) AS h
+         FROM sp_segs s JOIN f3 f USING (id) GROUP BY s.id),
+sp_tl AS (SELECT id, max(mx) AS last FROM sp_m GROUP BY id),
+f3s AS MATERIALIZED (SELECT f3.id,
+       CASE WHEN sp_tl.last IS NULL THEN f3.text
+            ELSE coalesce(sp_head.h, '') || substring(f3.text, (sp_tl.last + 1)::BIGINT) END AS text
+       FROM f3 LEFT JOIN sp_head ON sp_head.id = f3.id
+               LEFT JOIN sp_tl ON sp_tl.id = f3.id),
+sh2 AS (SELECT id, lower(text) AS t FROM f3s),
 sh3 AS (SELECT id, list_transform(range(1, greatest(length(t) - 4, 1) + 1),
                   i -> substring(t, cast(i AS int), 5)) AS shingles FROM sh2),
 bnd AS (SELECT id, band, list_min(list_transform(shingles,
@@ -2011,13 +2052,13 @@ prs AS (SELECT ia, ib FROM prs0
               >= 0.6),
 sym AS (SELECT ia AS u, ib AS v FROM prs UNION SELECT ib, ia FROM prs),
 reach(node, rt) AS (
-  SELECT id, id FROM f3
+  SELECT id, id FROM f3s
   UNION
   SELECT s.u, reach.rt FROM sym s JOIN reach ON s.v = reach.node
 ),
 comp AS (SELECT node AS id, min(rt) AS root FROM reach GROUP BY node),
 keepn AS (SELECT min(id) AS id FROM comp GROUP BY root),
-f4 AS (SELECT f3.id, f3.text FROM f3 JOIN keepn USING (id))
+f4 AS (SELECT f3s.id, f3s.text FROM f3s JOIN keepn USING (id))
 """
 
 
@@ -2034,6 +2075,9 @@ UNION ALL SELECT 'n_distinct_ids', count(DISTINCT id) FROM inp
 UNION ALL SELECT 'after_filters', count(*) FROM f1
 UNION ALL SELECT 'after_exact_dedup', count(*) FROM f2
 UNION ALL SELECT 'after_line_dedup', count(*) FROM f3
+UNION ALL SELECT 'span_dedup_removed_chars',
+  (SELECT coalesce(sum(length(text)), 0) FROM f3)
+  - (SELECT coalesce(sum(length(text)), 0) FROM f3s)
 UNION ALL SELECT 'after_near_dedup', count(*) FROM f4
 UNION ALL SELECT 'n_output', count(*) FROM f4
 """
