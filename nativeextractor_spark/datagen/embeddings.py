@@ -52,3 +52,44 @@ def clustered_embeddings_df(spark, **kw):
         clustered_embedding_rows(**kw),
         "vec_id long, embedding array<double>",
     )
+
+
+def clustered_embeddings_df_dist(
+    spark,
+    n_clusters: int,
+    per_cluster: int,
+    dim: int = 32,
+    seed: int = 11,
+    noise: float = 0.15,
+):
+    """Distributed variant of :func:`clustered_embeddings_df` for
+    million-vector tiers: each CLUSTER is generated on an executor from
+    its own derived seed, so the output is deterministic and identical
+    under any partitioning (and never materializes Python row lists on
+    the driver). Same structure as the driver-side fixture — unit-norm
+    Gaussian centers, per-vector Gaussian noise, 6-decimal rounding,
+    ``vec_id = cluster * per_cluster + i`` — but the per-cluster RNG
+    stream differs from the single-stream fixture, so the two generators
+    produce different (equally valid) corpora."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            out_ids = []
+            out_vecs = []
+            for c in pdf["id"]:
+                c = int(c)
+                rng = np.random.RandomState((seed * 1_000_003 + c) % (2**31))
+                center = rng.standard_normal(dim)
+                center /= max(float(np.sqrt((center * center).sum())), 1e-12)
+                vecs = center + noise * rng.standard_normal((per_cluster, dim))
+                vecs = np.round(vecs, 6)
+                out_ids.extend(c * per_cluster + i for i in range(per_cluster))
+                out_vecs.extend(list(map(float, v)) for v in vecs)
+            yield pd.DataFrame({"vec_id": out_ids, "embedding": out_vecs})
+
+    n_parts = max(min(n_clusters, spark.sparkContext.defaultParallelism * 4), 1)
+    return (
+        spark.range(n_clusters, numPartitions=n_parts)
+        .mapInPandas(gen, schema="vec_id long, embedding array<double>")
+    )

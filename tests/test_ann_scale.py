@@ -159,3 +159,66 @@ def test_ivf_kernel_recall_with_cluster_matched_codebook(spark, ann_corpus):
         exact, n_exact,
     )
     assert r >= 0.9, r
+
+
+def test_dist_generator_partition_invariant(spark):
+    """The distributed clustered generator must emit identical rows under
+    any partitioning (per-cluster derived seeds) — the property that
+    makes the 1M-tier corpus reproducible."""
+    from nativeextractor_spark.datagen.embeddings import (
+        clustered_embeddings_df_dist,
+    )
+
+    a = clustered_embeddings_df_dist(spark, 6, 5, dim=8, seed=3)
+    b = clustered_embeddings_df_dist(
+        spark.range(0).sparkSession, 6, 5, dim=8, seed=3
+    ).repartition(7)
+    ra = sorted((r.vec_id, tuple(r.embedding)) for r in a.collect())
+    rb = sorted((r.vec_id, tuple(r.embedding)) for r in b.collect())
+    assert ra == rb and len(ra) == 30
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    "SPARK_GRAFT_ANN_1M" not in __import__("os").environ,
+    reason="1M-vector tier (~10 min): set SPARK_GRAFT_ANN_1M=1; the "
+    "measured curve lives in BENCH/ANN_1M.json + BENCH/BASELINE.md",
+)
+def test_ivf_recall_1m_tier(spark):
+    """One decade past the 100k fixture: 1000 clusters x 1000 vectors,
+    codebook ~sqrt(N)=1024 cells (kernel engine, maxmin init, sample
+    16384) — the BENCH/ANN_1M.json recall>=0.9 config re-verified."""
+    import numpy as np
+
+    from nativeextractor_spark.datagen.embeddings import (
+        clustered_embeddings_df_dist,
+    )
+    from nativeextractor_spark.textops.similarity import cosine_topk_ivf
+
+    emb = clustered_embeddings_df_dist(spark, 1000, 1000, dim=32, seed=11)
+    emb = emb.repartition(64).localCheckpoint(eager=True)
+    q_ids = [c * 1000 for c in range(0, 1000, 10)]
+    queries = emb.where(F.col("vec_id").isin(q_ids)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    rows = emb.collect()
+    ids = np.asarray([r.vec_id for r in rows], dtype=np.int64)
+    V = np.asarray([r.embedding for r in rows], dtype=np.float64)
+    V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+    o = np.argsort(ids)
+    ids, V = ids[o], V[o]
+    Q = V[np.searchsorted(ids, np.asarray(q_ids))]
+    cos = np.round(Q @ V.T, 6)
+    truth = {
+        qid: {int(ids[t]) for t in np.lexsort((ids, -cos[i]))[:K]}
+        for i, qid in enumerate(q_ids)
+    }
+    got = cosine_topk_ivf(
+        emb, queries, k=K, n_centroids=1024, nprobe=8,
+        codebook="kmeans", assign_engine="kernel", train_sample=16384,
+    )
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r.query_id, set()).add(r.vec_id)
+    rec = sum(len(by_q.get(q, set()) & t) / K for q, t in truth.items()) / len(truth)
+    assert rec >= 0.9, rec
