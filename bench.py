@@ -148,9 +148,9 @@ def _force(df) -> None:
 
 def _headline(
     spark, sf: float
-) -> tuple[dict[str, float], dict[str, float], list[str]]:
+) -> tuple[dict[str, float], dict[str, float], list[str], dict]:
     """The headline suite; returns (steady-state seconds, cold first-run
-    seconds, single-pass row names) per query. Every row is forced with
+    seconds, single-pass row names, extra JSON fields) per query. Every row is forced with
     :func:`_force` (full materialization — r5 methodology fix). Rows in
     the single-pass list report their COLD first run as the steady
     number (they crossed the 30 s threshold — see timed()); consumers
@@ -170,6 +170,7 @@ def _headline(
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     single_pass: list[str] = []
+    extra: dict = {}
 
     def timed(name, fn):
         # steady-state measurement: run twice, report the min (first
@@ -307,6 +308,20 @@ def _headline(
         return metrics["n_output"]
 
     timed("curate_corpus", run_curate)
+
+    # r7 (VERDICT #4): the FULL Lee-et-al-style stack with ExactSubstr
+    # span dedup ON between line and near dedup — new row, so the suite
+    # total is not 1:1 comparable with r6's without excluding it; the
+    # per-stage metrics of the last run ride in the bench JSON under
+    # curate_span_stage_metrics
+    def run_curate_span():
+        out, metrics = curate_corpus(
+            lines_df, id_col="doc_id", span_dedup=True
+        )
+        extra["curate_span_stage_metrics"] = dict(metrics)
+        return metrics["n_output"]
+
+    timed("curate_corpus_span", run_curate_span)
     # planted-skew LSH (r5): 10% of docs share one 200-token shingle
     # prefix -> one oversized LSH bucket per band; the max_bucket cap must
     # keep the self-join bounded instead of quadratic (~12.5M pairs at
@@ -367,7 +382,7 @@ def _headline(
         "regex_dfa_mine",
         lambda: _force(extract_occurrences(pages, dfa_miners)),
     )
-    return timings, cold, single_pass
+    return timings, cold, single_pass, extra
 
 
 def _drain_python_workers(timeout_s: int = 180) -> None:
@@ -677,7 +692,7 @@ def main() -> None:
     window_cal = _hw_calibration()
     spark = _mk_spark()
     t0 = time.perf_counter()
-    timings, cold, single_pass = _headline(spark, sf)
+    timings, cold, single_pass, extra = _headline(spark, sf)
     wall = round(time.perf_counter() - t0, 3)
     total = round(sum(timings.values()), 3)
     n_pages = _n_pages(sf)
@@ -702,6 +717,7 @@ def main() -> None:
         "cpus": CPUS,
         "window_calibration_prerun": window_cal,
     }
+    result.update(extra)
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":
         spark.stop()
         # spark.stop() can return while straggler tasks' Python workers
