@@ -182,6 +182,12 @@ def _headline(
         # one-time costs are a negligible fraction of the row (measured
         # <15% on the long rows vs ~2x on sub-10s ones), and the second
         # pass would only bloat the suite's wall clock
+        # release the previous rows' dereferenced localCheckpoint blocks
+        # BEFORE timing: ContextCleaner frees them only after a GC notices
+        # the weak refs, and letting that happen mid-row both inflates the
+        # row and (r7, sf1) accumulated enough pinned heap to OOM the tail
+        # of the suite
+        spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
         fn()
         c = round(time.perf_counter() - t0, 3)

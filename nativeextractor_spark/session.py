@@ -22,9 +22,13 @@ def get_spark(
         builder = builder.master(f"local[{cpus}]")
     conf = {
         # local mode: the driver JVM IS the executor — Spark's 1g default
-        # heap OOMs wide-row operators at local[32]; honored only by the
-        # process's FIRST session (JVM flag), override via SPARK_GRAFT_MEM
-        "spark.driver.memory": os.environ.get("SPARK_GRAFT_MEM", "8g"),
+        # heap OOMs wide-row operators at local[32], and r7 measured the
+        # old 8g default (250 MB/core at 32 threads) tipping over from
+        # cumulative staged-block pressure in long suites; 32g = 1 GB/core,
+        # the per-core budget a real executor would get. Honored only by
+        # the process's FIRST session (JVM flag), override via
+        # SPARK_GRAFT_MEM
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_MEM", "32g"),
         # AQE: runtime coalescing + skew-join splitting
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
