@@ -37,9 +37,12 @@ enclosure (an earlier chunk's occurrence always starts no later), so
 the ``last_max`` pre-filter is NOT an approximation here: chunked
 output == whole-document output whenever every match and every
 cross-seam suppression chain fits inside ``overlap``/``lookbehind``
-(pinned by goldens at chunk sizes down to 1 char). Matches longer than
-``overlap`` are truncated out — size ``overlap`` to the longest span
-your miners can emit.
+(pinned by goldens at chunk sizes down to 1 char). Size ``overlap`` to
+the longest span your miners can emit: a greedy match that runs to the
+edge of a full lookahead window RAISES (the runtime truncation
+sentinel in the stitch kernel), while a pattern that needs context
+beyond the window to match at all emits nothing there — only the
+overlap contract covers that class.
 
 Scale shape: a document's chunks process sequentially inside one task
 (the reference's single-stream scan does the same work on one core),
@@ -120,7 +123,12 @@ def chunk_pages(
     )
 
 
-def _stitch_kernel(miners: Sequence[Miner], no_enclosed: bool, key_col: str):
+def _stitch_kernel(
+    miners: Sequence[Miner],
+    no_enclosed: bool,
+    key_col: str,
+    overlap_chars: int | None = None,
+):
     """Sequential per-document fold over partition-sorted chunk rows.
     State (reset per document): unicode/byte base of the next nominal
     start, per-miner ``end_last`` and the document ``last_max`` (both in
@@ -162,11 +170,38 @@ def _stitch_kernel(miners: Sequence[Miner], no_enclosed: bool, key_col: str):
                 pe_l: list[int] = []
                 lbl_l: list[str] = []
                 prb_l: list[float] = []
+                # truncation sentinel: when the FULL configured lookahead
+                # is present (i.e. the window was not clamped by EOF), a
+                # kept occurrence ending exactly at the window end may
+                # have been cut short — the whole-document scan could
+                # match longer. No miner has a static match-length bound
+                # (matches are bounded by token runs, which the corpus
+                # controls), so this is detected at runtime instead of
+                # promised statically. Scope: this catches patterns that
+                # MATCH SHORTER when cut (greedy runs); a pattern that
+                # needs context beyond the window to match AT ALL (e.g.
+                # a glob whose trailing literal lies past the lookahead)
+                # emits nothing and cannot be detected from occurrences —
+                # for those the overlap-sizing contract is the only
+                # guarantee (documented in the module docstring).
+                full_lookahead = (
+                    overlap_chars is not None
+                    and len(window) - lb - n_nom >= overlap_chars
+                )
                 for mi, m in enumerate(miners):
                     occs = m.find_batch([window])[0]
                     for occ in occs:
                         if not (lb <= occ.ustart < lb + n_nom):
                             continue  # neighbour chunk owns this start
+                        if full_lookahead and occ.uend >= len(window):
+                            raise ValueError(
+                                f"chunked scan: occurrence {occ.label!r} at "
+                                f"doc {cur_key!r} char {char_base + occ.ustart - lb} "
+                                "runs to the end of its lookahead window — "
+                                "it may be truncated at the chunk seam. "
+                                "Increase overlap_chars beyond the longest "
+                                "span your miners can emit."
+                            )
                         if offs is None:
                             p0, p1 = occ.ustart, occ.uend
                         else:
@@ -260,20 +295,25 @@ def extract_occurrences_from_chunks(
     *,
     no_enclosed: bool = True,
     key_col: str = "url",
+    overlap_chars: int | None = None,
 ):
     """Chunk rows (key, chunk_id, lb, n_nominal, window) → occurrences
     with ABSOLUTE byte (pos) and unicode (upos) offsets — same schema as
     :func:`operators.extract.extract_occurrences`, drop-in. Chunks are
     co-located per document and walked in order (see module docstring);
     output arrives sorted (pos asc, len asc) per document because chunk
-    nominal ranges are disjoint and each chunk's batch is sorted."""
+    nominal ranges are disjoint and each chunk's batch is sorted.
+    ``overlap_chars`` (pass the chunker's value) arms the runtime
+    seam-truncation detector — see :func:`_stitch_kernel`."""
     from pyspark.sql import functions as F
 
     schema = OCCURRENCE_SCHEMA.replace("url string", f"{key_col} string", 1)
     ordered = chunks_df.repartition(F.col(key_col)).sortWithinPartitions(
         key_col, "chunk_id"
     )
-    kernel = _stitch_kernel(list(miners), no_enclosed, key_col)
+    kernel = _stitch_kernel(
+        list(miners), no_enclosed, key_col, overlap_chars
+    )
     return ordered.mapInPandas(kernel, schema=schema)
 
 
@@ -300,5 +340,9 @@ def extract_occurrences_chunked(
         text_col=text_col,
     )
     return extract_occurrences_from_chunks(
-        chunks, miners, no_enclosed=no_enclosed, key_col=key_col
+        chunks,
+        miners,
+        no_enclosed=no_enclosed,
+        key_col=key_col,
+        overlap_chars=overlap_chars,
     )

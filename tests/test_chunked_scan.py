@@ -161,3 +161,39 @@ def test_chunked_bounded_memory_large_doc(spark):
         i = int(r.str[1:8])
         assert r.pos == i * stride + 26001
         assert text[r.upos : r.upos + r.ulen] == r.str
+
+
+def test_chunked_truncation_detector(spark):
+    """A greedy match running to the edge of a full lookahead window
+    must fail LOUDLY (with sizing guidance), never silently truncate —
+    no miner has a static match-length bound, so the seam detector is a
+    runtime check. Patterns that need context beyond the window to match
+    AT ALL (trailing-literal globs) emit nothing and are covered only by
+    the overlap contract — pinned here too: ample overlap restores exact
+    whole-doc equality for both classes."""
+    from nativeextractor_spark.miners import GlobMiner
+
+    text = "xx aaaaaaaaaaaaaaaaaaaaaaab yy"
+    pages = spark.createDataFrame([("u", text)], "url string, text string")
+    # greedy run crossing the lookahead: detector fires
+    bad = extract_occurrences_chunked(
+        pages, [GlobMiner("a*")], chunk_chars=4, overlap_chars=8
+    )
+    with pytest.raises(Exception, match="truncated at the chunk seam"):
+        bad.collect()
+    # ample overlap: both pattern classes match the whole-doc scan
+    for glob in ("a*", "a*b"):
+        ok = extract_occurrences_chunked(
+            pages, [GlobMiner(glob)], chunk_chars=4, overlap_chars=64
+        )
+        whole = extract_occurrences(pages, [GlobMiner(glob)])
+        assert _rows(ok) == _rows(whole), glob
+    # EOF-clamped windows are exempt: a match running exactly to the end
+    # of the DOCUMENT is legitimate, not truncated
+    tail = spark.createDataFrame(
+        [("t", "xx aaaab")], "url string, text string"
+    )
+    got = extract_occurrences_chunked(
+        tail, [GlobMiner("a*b")], chunk_chars=4, overlap_chars=8
+    )
+    assert [r.str for r in got.collect()] == ["aaaab"]
