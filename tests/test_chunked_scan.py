@@ -197,3 +197,35 @@ def test_chunked_truncation_detector(spark):
         tail, [GlobMiner("a*b")], chunk_chars=4, overlap_chars=8
     )
     assert [r.str for r in got.collect()] == ["aaaab"]
+
+
+def test_chunked_randomized_equivalence_sweep(spark):
+    """Seeded random corpora (multi-separator, multibyte, planted
+    entities) x random chunk sizes: chunked == whole-doc for the default
+    miner set plus globs. Complements the fixture goldens with shapes
+    nobody hand-picked."""
+    import random
+
+    from nativeextractor_spark.miners import GlobMiner
+
+    rng = random.Random(99)
+    vocab = ["ab", "skk", "řč", "x1", "a@b.cd", "http://e.fg/h", "zz-y",
+             "2021-03-04", "lorem", "s" * 7 + "k"]
+    miners = _miners() + [GlobMiner("s*k"), GlobMiner("?b")]
+    for trial in range(3):
+        docs = []
+        for d in range(8):
+            n = rng.randrange(0, 40)
+            parts = [vocab[rng.randrange(len(vocab))] for _ in range(n)]
+            sep = lambda: "\n" if rng.random() < 0.2 else " "
+            text = ""
+            for j, w in enumerate(parts):
+                text += (sep() if j else "") + w
+            docs.append((f"t{trial}d{d}", text or None))
+        pages = spark.createDataFrame(docs, "url string, text string")
+        whole = extract_occurrences(pages, miners)
+        c = rng.choice([2, 5, 11, 31])
+        chunked = extract_occurrences_chunked(
+            pages, miners, chunk_chars=c, overlap_chars=512
+        )
+        assert _rows(chunked) == _rows(whole), (trial, c)
