@@ -54,15 +54,17 @@ def enclosed_keep_mask(pos: np.ndarray, end: np.ndarray) -> np.ndarray:
     n = pos.size
     if n <= 1:
         return np.ones(n, dtype=bool)
-    spans = np.stack([pos, end], axis=1)
-    uniq, inverse = np.unique(spans, axis=0, return_inverse=True)
-    upos, uend = uniq[:, 0], uniq[:, 1]
-    order = np.lexsort((-uend, upos))  # pos asc, end desc
-    spos, send = upos[order], uend[order]
-    m = spos.size
+    # r7: the group logic runs DIRECTLY on the lexsorted rows — the old
+    # np.unique(axis=0) canonicalization was redundant (identical spans
+    # land in the same pos group with equal ends, and both dominance
+    # tests are strict about them) and cost ~60% of the whole per-doc
+    # post-process at typical 5-10-occurrence documents (np.unique with
+    # axis=0 void-views and sorts rows).
+    order = np.lexsort((-end, pos))  # pos asc, end desc
+    spos, send = pos[order], end[order]
     # max end within each pos group = end of the group's first row
     group_first = np.concatenate(([True], spos[1:] != spos[:-1]))
-    first_idx = np.maximum.accumulate(np.where(group_first, np.arange(m), 0))
+    first_idx = np.maximum.accumulate(np.where(group_first, np.arange(n), 0))
     max_end_in_group = send[first_idx]
     # running max end over all strictly-earlier pos groups
     group_start_positions = np.flatnonzero(group_first)
@@ -72,10 +74,9 @@ def enclosed_keep_mask(pos: np.ndarray, end: np.ndarray) -> np.ndarray:
     )
     group_id = np.cumsum(group_first) - 1
     dominated = (prev_group_cummax[group_id] >= send) | (max_end_in_group > send)
-    keep_sorted = ~dominated
-    keep_uniq = np.empty(m, dtype=bool)
-    keep_uniq[order] = keep_sorted
-    return keep_uniq[inverse]
+    keep = np.empty(n, dtype=bool)
+    keep[order] = ~dominated
+    return keep
 
 
 def scan_document(
