@@ -226,16 +226,27 @@ def _eligible_starts(
     if prefilter == "sketch" and gram_key != "hash":
         raise ValueError("prefilter='sketch' requires gram_key='hash' (int64 keys)")
     if prefilter == "sketch" or (prefilter == "auto" and gram_key == "hash"):
-        est = (
-            base.agg(
-                F.sum(F.expr(f"greatest(size(_toks) - {n_tokens - 1}, 0)"))
-            ).collect()[0][0]
-            or 0
-        )
+        est = -1
+        if prefilter == "auto":
+            # the cost inequality P * plane_bits(est)/4 < est * 16 is
+            # nearly est-free: plane_bits ≈ 8-16 bits/gram (pow2
+            # rounding), so it reduces to P < ~4-8. Short-circuit on the
+            # partition count ALONE before paying the gram-count pass —
+            # at bench parallelism this skips a full tokenize of the
+            # corpus per call
+            n_parts = base.rdd.getNumPartitions()
+            if n_parts * 2 >= _SHUFFLE_BYTES_PER_GRAM:
+                est = 0  # plane transfer can never undercut the shuffle
+        if est != 0:
+            est = (
+                base.agg(
+                    F.sum(F.expr(f"greatest(size(_toks) - {n_tokens - 1}, 0)"))
+                ).collect()[0][0]
+                or 0
+            )
         if prefilter == "auto" and est > 0 and est <= _PREFILTER_MAX_KEYS:
             from nativeextractor_spark.textops.sketch import plane_bits
 
-            n_parts = base.rdd.getNumPartitions()
             plane_xfer = n_parts * (plane_bits(est) // 4)  # 2 planes, bytes
             if plane_xfer >= est * _SHUFFLE_BYTES_PER_GRAM:
                 est = 0  # sketch communication beats nothing: stay off
