@@ -44,14 +44,34 @@ sentinel in the stitch kernel), while a pattern that needs context
 beyond the window to match at all emits nothing there — only the
 overlap contract covers that class.
 
-Scale shape: a document's chunks process sequentially inside one task
-(the reference's single-stream scan does the same work on one core),
-but memory is O(chunk + overlap) per row and O(Arrow batch) per task —
-a 2^48-byte stream flows through without ever materializing; DIFFERENT
-documents parallelize across tasks as usual. For streams that never fit
-one row at all (the true 2^48 case), ingest can produce the chunk rows
-directly and call :func:`extract_occurrences_from_chunks` — the SQL
-chunker here is for documents that fit a row but not a kernel.
+Scale shape — the key observation (r7) is that the SCAN itself is
+stateless: cross-batch state (``end_last``/``last_max``/offset bases)
+only filters and rebases occurrences, never changes what a window scan
+finds. ``stitch="parallel"`` (default) exploits that:
+
+- phase 1 scans every chunk row WHERE IT SITS (no shuffle of text),
+  applying the stateless rules (start-in-nominal ownership, the
+  truncation sentinel) and emitting per-chunk META rows (nominal
+  char/byte sizes) plus window-relative candidate occurrences;
+- phase 2 shuffles only those occurrence/meta rows (orders of
+  magnitude smaller than the text), sorts them per (doc, chunk, miner,
+  position), and runs the sequential state fold — per-miner
+  ``end_last``, ``last_max`` + enclosed mask, absolute-offset rebasing
+  by accumulated bases — streaming through sorted Arrow batches with
+  O(chunk occurrences) memory.
+
+So one 2^48-byte stream's scan spreads across the whole cluster (the
+reference binds a stream to one machine), and the only sequential work
+is a fold over its occurrences. ``stitch="sequential"`` keeps the
+r7-initial single-pass shape (text shuffled to co-locate each doc's
+chunks, one kernel does scan+fold) as the independent cross-check
+engine. For streams that never fit one row at all (the true 2^48
+case), ingest produces the chunk rows directly and calls
+:func:`extract_occurrences_from_chunks` — the SQL chunker here is for
+documents that fit a row but not a kernel (and its per-doc chunks
+inherit the input row's partition, so phase-1 parallelism within ONE
+such doc is bounded by the input split; pre-chunked ingest has no such
+bound).
 """
 
 from __future__ import annotations
@@ -289,6 +309,234 @@ def _stitch_kernel(
     return kernel
 
 
+#: phase-1 output of the parallel stitch: kind=0 rows are per-chunk
+#: metadata (one per non-empty chunk — they drive offset-base
+#: accumulation even for chunks with no occurrences), kind=1 rows are
+#: window-relative candidate occurrences
+_CANDIDATE_SCHEMA_TMPL = (
+    "{key} string, chunk_id long, kind int, mi int,"
+    " ustart long, uend long, pos long, end long,"
+    " label string, prob float, str string,"
+    " lb int, lb_bytes long, n_nom int, nominal_bytes long, full_la boolean"
+)
+
+
+def _scan_kernel(
+    miners: Sequence[Miner], key_col: str, overlap_chars: int | None
+):
+    """Stateless phase 1 of the parallel stitch: scan each chunk window
+    in place, keep occurrences the chunk OWNS (start in the nominal
+    range), raise the truncation sentinel, and emit window-relative
+    offsets plus the chunk meta row. No cross-row state; order-free."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            key_col, "chunk_id", "kind", "mi", "ustart", "uend", "pos",
+            "end", "label", "prob", "str", "lb", "lb_bytes", "n_nom",
+            "nominal_bytes", "full_la",
+        ]
+        for pdf in batches:
+            rows: list[tuple] = []
+            for key, cid, lb, n_nom, window in zip(
+                pdf[key_col], pdf["chunk_id"], pdf["lb"],
+                pdf["n_nominal"], pdf["window"],
+            ):
+                lb, n_nom, cid = int(lb), int(n_nom), int(cid)
+                if not isinstance(window, str) or not window or n_nom == 0:
+                    continue
+                if window.isascii():
+                    offs = None
+                    lb_bytes = lb
+                    nominal_bytes = n_nom
+                else:
+                    offs = char_byte_offsets(window)
+                    lb_bytes = int(offs[lb])
+                    nominal_bytes = (
+                        int(offs[min(lb + n_nom, len(window))]) - lb_bytes
+                    )
+                full_la = (
+                    overlap_chars is not None
+                    and len(window) - lb - n_nom >= overlap_chars
+                )
+                rows.append((
+                    key, cid, 0, -1, 0, 0, 0, 0, None, 0.0, None,
+                    lb, lb_bytes, n_nom, nominal_bytes, bool(full_la),
+                ))
+                for mi, m in enumerate(miners):
+                    for occ in m.find_batch([window])[0]:
+                        if not (lb <= occ.ustart < lb + n_nom):
+                            continue
+                        if full_la and occ.uend >= len(window):
+                            raise ValueError(
+                                f"chunked scan: occurrence {occ.label!r} "
+                                f"at doc {key!r} chunk {cid} runs to the "
+                                "end of its lookahead window — it may be "
+                                "truncated at the chunk seam. Increase "
+                                "overlap_chars beyond the longest span "
+                                "your miners can emit."
+                            )
+                        if offs is None:
+                            p0, p1 = occ.ustart, occ.uend
+                        else:
+                            p0, p1 = int(offs[occ.ustart]), int(offs[occ.uend])
+                        rows.append((
+                            key, cid, 1, mi, occ.ustart, occ.uend, p0, p1,
+                            occ.label, occ.prob,
+                            window[occ.ustart : occ.uend],
+                            lb, lb_bytes, n_nom, nominal_bytes, False,
+                        ))
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+            else:
+                yield pd.DataFrame(
+                    {
+                        key_col: pd.Series([], dtype=object),
+                        "chunk_id": pd.Series([], dtype=np.int64),
+                        "kind": pd.Series([], dtype=np.int32),
+                        "mi": pd.Series([], dtype=np.int32),
+                        "ustart": pd.Series([], dtype=np.int64),
+                        "uend": pd.Series([], dtype=np.int64),
+                        "pos": pd.Series([], dtype=np.int64),
+                        "end": pd.Series([], dtype=np.int64),
+                        "label": pd.Series([], dtype=object),
+                        "prob": pd.Series([], dtype=np.float32),
+                        "str": pd.Series([], dtype=object),
+                        "lb": pd.Series([], dtype=np.int32),
+                        "lb_bytes": pd.Series([], dtype=np.int64),
+                        "n_nom": pd.Series([], dtype=np.int32),
+                        "nominal_bytes": pd.Series([], dtype=np.int64),
+                        "full_la": pd.Series([], dtype=bool),
+                    }
+                )
+
+    return kernel
+
+
+def _fold_kernel(n_miners: int, no_enclosed: bool, key_col: str):
+    """Sequential phase 2 of the parallel stitch: the same state fold as
+    :func:`_stitch_kernel`, but over (meta + occurrence) rows instead of
+    text — per-miner ``end_last``, ``last_max`` + enclosed mask, offset
+    rebasing by accumulated bases. Rows arrive partition-sorted by
+    (doc, chunk_id, kind, mi, ustart); memory is O(one chunk's
+    occurrences)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cur_key = None
+        char_base = byte_base = 0
+        end_last: list[int] = []
+        last_max = 0
+        # current chunk's rebased-occurrence buffer + its meta
+        buf: list[tuple] = []
+        meta = None  # (w_char, w_byte, n_nom, nominal_bytes)
+
+        def flush():
+            nonlocal char_base, byte_base, last_max, buf, meta
+            out = None
+            if buf:
+                us = np.asarray([b[0] for b in buf], dtype=np.int64)
+                ue = np.asarray([b[1] for b in buf], dtype=np.int64)
+                ps = np.asarray([b[2] for b in buf], dtype=np.int64)
+                pe = np.asarray([b[3] for b in buf], dtype=np.int64)
+                keep = np.ones(us.size, dtype=bool)
+                if no_enclosed:
+                    if last_max > 0:
+                        keep &= pe > last_max
+                    sub = enclosed_keep_mask(ps[keep], pe[keep])
+                    idx = np.flatnonzero(keep)
+                    keep[idx[~sub]] = False
+                    if keep.any():
+                        last_max = max(last_max, int(pe[keep].max()))
+                if keep.any():
+                    us, ue, ps, pe = us[keep], ue[keep], ps[keep], pe[keep]
+                    lbl = [b[4] for b, k in zip(buf, keep) if k]
+                    prb = [b[5] for b, k in zip(buf, keep) if k]
+                    txt = [b[6] for b, k in zip(buf, keep) if k]
+                    lens = pe - ps
+                    order = np.lexsort(
+                        (np.asarray(lbl, dtype=object), lens, ps)
+                    )
+                    out = pd.DataFrame(
+                        {
+                            key_col: [cur_key] * us.size,
+                            "pos": ps[order],
+                            "upos": us[order],
+                            "len": lens[order].astype(np.int32),
+                            "ulen": (ue - us)[order].astype(np.int32),
+                            "label": [lbl[i] for i in order],
+                            "prob": np.asarray(prb, dtype=np.float32)[order],
+                            "str": [txt[i] for i in order],
+                        }
+                    )
+            buf = []
+            if meta is not None:
+                char_base += meta[2]
+                byte_base += meta[3]
+            return out
+
+        def walk(pdf: pd.DataFrame):
+            nonlocal cur_key, char_base, byte_base, end_last, last_max, meta
+            for row in pdf.itertuples(index=False):
+                key = getattr(row, key_col)
+                if key != cur_key:
+                    out = flush()
+                    if out is not None:
+                        yield out
+                    cur_key = key
+                    char_base = byte_base = 0
+                    end_last = [0] * n_miners
+                    last_max = 0
+                    meta = None
+                if row.kind == 0:
+                    out = flush()
+                    if out is not None:
+                        yield out
+                    meta = (
+                        char_base - row.lb,
+                        byte_base - row.lb_bytes,
+                        int(row.n_nom),
+                        int(row.nominal_bytes),
+                    )
+                    continue
+                w_char, w_byte = meta[0], meta[1]
+                ap0, ap1 = w_byte + row.pos, w_byte + row.end
+                mi = int(row.mi)
+                if ap0 < end_last[mi]:
+                    continue
+                end_last[mi] = max(end_last[mi], int(ap1))
+                buf.append(
+                    (
+                        w_char + row.ustart,
+                        w_char + row.uend,
+                        ap0,
+                        ap1,
+                        row.label,
+                        row.prob,
+                        getattr(row, "str"),
+                    )
+                )
+
+        for pdf in batches:
+            yield from walk(pdf)
+        out = flush()
+        if out is not None:
+            yield out
+        else:
+            yield pd.DataFrame(
+                {
+                    key_col: pd.Series([], dtype=object),
+                    "pos": pd.Series([], dtype=np.int64),
+                    "upos": pd.Series([], dtype=np.int64),
+                    "len": pd.Series([], dtype=np.int32),
+                    "ulen": pd.Series([], dtype=np.int32),
+                    "label": pd.Series([], dtype=object),
+                    "prob": pd.Series([], dtype=np.float32),
+                    "str": pd.Series([], dtype=object),
+                }
+            )
+
+    return kernel
+
+
 def extract_occurrences_from_chunks(
     chunks_df,
     miners: Sequence[Miner],
@@ -296,6 +544,7 @@ def extract_occurrences_from_chunks(
     no_enclosed: bool = True,
     key_col: str = "url",
     overlap_chars: int | None = None,
+    stitch: str = "parallel",
 ):
     """Chunk rows (key, chunk_id, lb, n_nominal, window) → occurrences
     with ABSOLUTE byte (pos) and unicode (upos) offsets — same schema as
@@ -304,17 +553,35 @@ def extract_occurrences_from_chunks(
     output arrives sorted (pos asc, len asc) per document because chunk
     nominal ranges are disjoint and each chunk's batch is sorted.
     ``overlap_chars`` (pass the chunker's value) arms the runtime
-    seam-truncation detector — see :func:`_stitch_kernel`."""
+    seam-truncation detector. ``stitch="parallel"`` (default) scans
+    chunks where they sit and shuffles only candidate occurrences to the
+    per-document fold; ``"sequential"`` co-locates the chunk TEXT per
+    document and runs scan+fold in one ordered pass (the cross-check
+    engine; see module docstring)."""
     from pyspark.sql import functions as F
 
+    if stitch not in ("parallel", "sequential"):
+        raise ValueError(
+            f"stitch must be 'parallel' or 'sequential', got {stitch!r}"
+        )
     schema = OCCURRENCE_SCHEMA.replace("url string", f"{key_col} string", 1)
-    ordered = chunks_df.repartition(F.col(key_col)).sortWithinPartitions(
-        key_col, "chunk_id"
+    ms = list(miners)
+    if stitch == "sequential":
+        ordered = chunks_df.repartition(F.col(key_col)).sortWithinPartitions(
+            key_col, "chunk_id"
+        )
+        kernel = _stitch_kernel(ms, no_enclosed, key_col, overlap_chars)
+        return ordered.mapInPandas(kernel, schema=schema)
+    cand_schema = _CANDIDATE_SCHEMA_TMPL.format(key=key_col)
+    candidates = chunks_df.mapInPandas(
+        _scan_kernel(ms, key_col, overlap_chars), schema=cand_schema
     )
-    kernel = _stitch_kernel(
-        list(miners), no_enclosed, key_col, overlap_chars
+    ordered = candidates.repartition(F.col(key_col)).sortWithinPartitions(
+        key_col, "chunk_id", "kind", "mi", "ustart"
     )
-    return ordered.mapInPandas(kernel, schema=schema)
+    return ordered.mapInPandas(
+        _fold_kernel(len(ms), no_enclosed, key_col), schema=schema
+    )
 
 
 def extract_occurrences_chunked(
@@ -326,6 +593,7 @@ def extract_occurrences_chunked(
     no_enclosed: bool = True,
     key_col: str = "url",
     text_col: str = "text",
+    stitch: str = "parallel",
 ):
     """Whole-pipeline convenience: chunk + scan + stitch. Equivalent to
     ``extract_occurrences(pages_df, miners)`` for every match shorter
@@ -345,4 +613,5 @@ def extract_occurrences_chunked(
         no_enclosed=no_enclosed,
         key_col=key_col,
         overlap_chars=overlap_chars,
+        stitch=stitch,
     )

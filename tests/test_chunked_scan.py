@@ -33,18 +33,20 @@ def _rows(df):
     )
 
 
+@pytest.mark.parametrize("stitch", ["parallel", "sequential"])
 @pytest.mark.parametrize("chunk_chars", [1, 3, 16, 64, 1000])
-def test_chunked_equals_whole_doc_on_fixtures(spark, chunk_chars):
+def test_chunked_equals_whole_doc_on_fixtures(spark, chunk_chars, stitch):
     """The judge's golden: same spans, labels, and BOTH offset kinds as
     the whole-document scan, for every reference fixture text, at chunk
-    sizes including 1."""
+    sizes including 1 — under BOTH stitch engines."""
     pages = spark.createDataFrame(
         [(k, v) for k, v in FIXTURE_TEXTS.items()], "url string, text string"
     )
     miners = _miners()
     whole = extract_occurrences(pages, miners)
     chunked = extract_occurrences_chunked(
-        pages, miners, chunk_chars=chunk_chars, overlap_chars=256
+        pages, miners, chunk_chars=chunk_chars, overlap_chars=256,
+        stitch=stitch,
     )
     assert _rows(chunked) == _rows(whole)
 
@@ -57,10 +59,11 @@ def test_chunked_multibyte_offsets_across_seams(spark):
     miners = _miners()
     whole = extract_occurrences(pages, miners)
     for c in (1, 2, 5, 7, 1000):
-        chunked = extract_occurrences_chunked(
-            pages, miners, chunk_chars=c, overlap_chars=64
-        )
-        assert _rows(chunked) == _rows(whole), c
+        for stitch in ("parallel", "sequential"):
+            chunked = extract_occurrences_chunked(
+                pages, miners, chunk_chars=c, overlap_chars=64, stitch=stitch
+            )
+            assert _rows(chunked) == _rows(whole), (c, stitch)
     # sanity: multibyte means pos != upos for late occurrences
     r = {x.str: x for x in whole.collect()}
     assert r["x@y.cz"].pos > r["x@y.cz"].upos
@@ -80,10 +83,11 @@ def test_chunked_cross_seam_enclosure_and_overlap(spark):
     miners = [GlobMiner("a*b"), GlobMiner("aa*")]
     whole = extract_occurrences(pages, miners)
     for c in (1, 4, 8, 13, 40):
-        chunked = extract_occurrences_chunked(
-            pages, miners, chunk_chars=c, overlap_chars=64
-        )
-        assert _rows(chunked) == _rows(whole), c
+        for stitch in ("parallel", "sequential"):
+            chunked = extract_occurrences_chunked(
+                pages, miners, chunk_chars=c, overlap_chars=64, stitch=stitch
+            )
+            assert _rows(chunked) == _rows(whole), (c, stitch)
 
 
 def test_prechunked_api_matches_sql_chunker(spark):
@@ -105,12 +109,18 @@ def test_prechunked_api_matches_sql_chunker(spark):
     hand_df = spark.createDataFrame(
         hand, "url string, chunk_id int, lb int, n_nominal int, window string"
     )
-    via_hand = extract_occurrences_from_chunks(hand_df, miners)
-    via_sql = extract_occurrences_from_chunks(
-        chunk_pages(pages, chunk_chars=c, overlap_chars=ov), miners
-    )
     whole = extract_occurrences(pages, miners)
-    assert _rows(via_hand) == _rows(via_sql) == _rows(whole)
+    for stitch in ("parallel", "sequential"):
+        via_hand = extract_occurrences_from_chunks(
+            hand_df, miners, stitch=stitch
+        )
+        via_sql = extract_occurrences_from_chunks(
+            chunk_pages(pages, chunk_chars=c, overlap_chars=ov), miners,
+            stitch=stitch,
+        )
+        assert _rows(via_hand) == _rows(via_sql) == _rows(whole), stitch
+    with pytest.raises(ValueError):
+        extract_occurrences_from_chunks(hand_df, miners, stitch="nope")
 
 
 def test_chunker_shapes(spark):
@@ -175,12 +185,14 @@ def test_chunked_truncation_detector(spark):
 
     text = "xx aaaaaaaaaaaaaaaaaaaaaaab yy"
     pages = spark.createDataFrame([("u", text)], "url string, text string")
-    # greedy run crossing the lookahead: detector fires
-    bad = extract_occurrences_chunked(
-        pages, [GlobMiner("a*")], chunk_chars=4, overlap_chars=8
-    )
-    with pytest.raises(Exception, match="truncated at the chunk seam"):
-        bad.collect()
+    # greedy run crossing the lookahead: detector fires in both engines
+    for stitch in ("parallel", "sequential"):
+        bad = extract_occurrences_chunked(
+            pages, [GlobMiner("a*")], chunk_chars=4, overlap_chars=8,
+            stitch=stitch,
+        )
+        with pytest.raises(Exception, match="truncated at the chunk seam"):
+            bad.collect()
     # ample overlap: both pattern classes match the whole-doc scan
     for glob in ("a*", "a*b"):
         ok = extract_occurrences_chunked(
@@ -225,7 +237,8 @@ def test_chunked_randomized_equivalence_sweep(spark):
         pages = spark.createDataFrame(docs, "url string, text string")
         whole = extract_occurrences(pages, miners)
         c = rng.choice([2, 5, 11, 31])
+        stitch = "parallel" if trial % 2 == 0 else "sequential"
         chunked = extract_occurrences_chunked(
-            pages, miners, chunk_chars=c, overlap_chars=512
+            pages, miners, chunk_chars=c, overlap_chars=512, stitch=stitch
         )
-        assert _rows(chunked) == _rows(whole), (trial, c)
+        assert _rows(chunked) == _rows(whole), (trial, c, stitch)
