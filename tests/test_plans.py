@@ -212,3 +212,41 @@ def test_line_dedup_single_line_shuffle(spark):
     assert "Window" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_chunked_parallel_stitch_shuffles_occurrences_not_text(spark):
+    """r7: the parallel stitch's ONLY exchange sits between the scan
+    kernel (which consumes the chunk text in place) and the fold kernel
+    — the shuffled rows are the 16-column candidate schema, never the
+    window text. The sequential engine, by contrast, exchanges the chunk
+    text itself to co-locate documents."""
+    from nativeextractor_spark.miners import EmailMiner
+    from nativeextractor_spark.operators.chunked import (
+        extract_occurrences_chunked,
+    )
+
+    df = spark.createDataFrame(
+        [(str(i), "a b c d%d@x.yz e" % i) for i in range(10)],
+        "url string, text string",
+    )
+    par = _plan(extract_occurrences_chunked(
+        df, [EmailMiner()], chunk_chars=6, overlap_chars=32,
+        stitch="parallel",
+    ))
+    # fold kernel above the exchange, scan kernel below it
+    i_fold = par.find("MapInPandas")
+    i_ex = par.find("Exchange", i_fold)
+    i_scan = par.find("MapInPandas", i_ex)
+    assert -1 < i_fold < i_ex < i_scan, par
+    # the scan kernel (below the exchange) is the one consuming window
+    # text; above the exchange no window/text column appears
+    assert "window" not in par[:i_ex], par[:i_ex]
+    assert "window" in par[i_ex:], par
+    seq = _plan(extract_occurrences_chunked(
+        df, [EmailMiner()], chunk_chars=6, overlap_chars=32,
+        stitch="sequential",
+    ))
+    j_kernel = seq.find("MapInPandas")
+    j_ex = seq.find("Exchange", j_kernel)
+    assert -1 < j_kernel < j_ex, seq  # text exchanged below the kernel
+    assert "window" in seq[j_ex:], seq
