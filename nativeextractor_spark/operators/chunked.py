@@ -576,8 +576,14 @@ def extract_occurrences_from_chunks(
     candidates = chunks_df.mapInPandas(
         _scan_kernel(ms, key_col, overlap_chars), schema=cand_schema
     )
+    # uend tiebreaks same-start occurrences from one miner in one window so
+    # the fold order is TOTAL (ADVICE r7 #4): without it two same-start
+    # candidates would pass through the end_last guard in nondeterministic
+    # shuffle order. Current miners emit start-sorted non-overlapping spans
+    # (never two same-start rows per miner per window), so this is
+    # future-proofing, not a behavior change.
     ordered = candidates.repartition(F.col(key_col)).sortWithinPartitions(
-        key_col, "chunk_id", "kind", "mi", "ustart"
+        key_col, "chunk_id", "kind", "mi", "ustart", "uend"
     )
     return ordered.mapInPandas(
         _fold_kernel(len(ms), no_enclosed, key_col), schema=schema

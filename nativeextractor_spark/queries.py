@@ -1893,9 +1893,11 @@ def q_curate_corpus(spark, sf_dir):
 
 def q_curate_corpus_metrics(spark, sf_dir):
     """Per-stage surviving-document counts of the same pipeline run."""
+    from decimal import Decimal
+
     _, metrics = _curate(spark, sf_dir)
     rows = [
-        (k, int(metrics[k]))
+        (k, Decimal(int(metrics[k])))
         for k in (
             "n_input",
             "n_distinct_ids",
@@ -1907,7 +1909,12 @@ def q_curate_corpus_metrics(spark, sf_dir):
             "n_output",
         )
     ]
-    return spark.createDataFrame(rows, "stage string, n long")
+    # n is decimal(38,0): the oracle's span_dedup_removed_chars branch is a
+    # DuckDB HUGEINT sum-difference, and UNION ALL promotes the whole column
+    # to decimal128(38,0) in the oracle's Arrow output — the driver hashes
+    # TYPED values, so Spark must emit the same Arrow type (the oracle SQL
+    # text is frozen; values are identical either way, VERDICT r7 #1).
+    return spark.createDataFrame(rows, "stage string, n decimal(38,0)")
 
 
 # the shared stage-by-stage DuckDB replay: inp -> (quality qk ∩ span-

@@ -20,15 +20,24 @@ def get_spark(
         builder = builder.master(master)
     elif SparkSession.getActiveSession() is None:
         builder = builder.master(f"local[{cpus}]")
+    # local mode: the driver JVM IS the executor — Spark's 1g default heap
+    # OOMs wide-row operators at local[32], and r7 measured 8g (250 MB/core
+    # at 32 threads) tipping over from cumulative staged-block pressure in
+    # long suites. Budget 1 GB/core (what a real executor would get) but
+    # never more than half of physical RAM (ADVICE r7 #3: a flat 32g on a
+    # <32 GB host would swap/OOM-kill instead of GC'ing earlier). On the
+    # 32-core/128 GB bench box this resolves to the same 32g as before.
+    # Honored only by the process's FIRST session (JVM flag); override via
+    # SPARK_GRAFT_MEM.
+    try:
+        ram_gb = (
+            os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+        ) // (1024**3)
+    except (ValueError, OSError):  # platform without sysconf
+        ram_gb = 0
+    heap_gb = max(min(cpus, ram_gb // 2 if ram_gb else cpus), 2)
     conf = {
-        # local mode: the driver JVM IS the executor — Spark's 1g default
-        # heap OOMs wide-row operators at local[32], and r7 measured the
-        # old 8g default (250 MB/core at 32 threads) tipping over from
-        # cumulative staged-block pressure in long suites; 32g = 1 GB/core,
-        # the per-core budget a real executor would get. Honored only by
-        # the process's FIRST session (JVM flag), override via
-        # SPARK_GRAFT_MEM
-        "spark.driver.memory": os.environ.get("SPARK_GRAFT_MEM", "32g"),
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_MEM", f"{heap_gb}g"),
         # AQE: runtime coalescing + skew-join splitting
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",

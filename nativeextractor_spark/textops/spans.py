@@ -233,8 +233,15 @@ def _eligible_starts(
             # rounding), so it reduces to P < ~4-8. Short-circuit on the
             # partition count ALONE before paying the gram-count pass —
             # at bench parallelism this skips a full tokenize of the
-            # corpus per call
-            n_parts = base.rdd.getNumPartitions()
+            # corpus per call. defaultParallelism is a LOWER bound on the
+            # gram stream's partition count (>= one task per core; real
+            # deployments run many partitions per core), so it can only
+            # keep the prefilter off where the exact count also would —
+            # and unlike the r7 ``base.rdd.getNumPartitions()`` probe it
+            # never materializes upstream shuffle stages under AQE
+            # (ADVICE r7 #2: the probe double-executed the collapse_ids
+            # groupBy when assume_unique=False).
+            n_parts = base.sparkSession.sparkContext.defaultParallelism
             if n_parts * 2 >= _SHUFFLE_BYTES_PER_GRAM:
                 est = 0  # plane transfer can never undercut the shuffle
         if est != 0:

@@ -82,18 +82,56 @@ def main():
             failures.append(name)
             print(f"FAIL  {name}: oracle error: {e}")
             continue
-        # the driver hashes typed values (arrow), so a DuckDB HUGEINT /
-        # decimal vs Spark bigint/double mismatch fails there even when the
-        # stringified values below agree — surface it as a warning.
+        # the driver hashes TYPED values (arrow): a DuckDB HUGEINT/decimal
+        # vs Spark bigint/double mismatch fails there even when the
+        # stringified values below agree. r7 shipped exactly that red
+        # (curate_corpus_metrics: oracle UNION ALL promoted to decimal128
+        # while the local gate only warned on decimal256) — so since r8 the
+        # gate compares the Spark ARROW schema against the oracle's and
+        # FAILS on any same-named column whose arrow types differ.
         for c, t in ora_arrow_types.items():
-            if any(k in t for k in ("decimal256", "int128", "halffloat")):
+            if any(k in t for k in ("decimal256", "decimal128", "int128", "halffloat")):
                 print(f"WARN  {name}: oracle column {c} has exotic type {t}")
+        # canonicalize arrow types to the PYTHON VALUE CLASS the driver's
+        # hash sees: integer widths collapse (int32 and int64 both hash as
+        # python int — quality/dup_span_stats were hash-green in r7 with
+        # int32-vs-int64 columns), while decimal stays distinct from int
+        # (the r7 red class: Decimal('N') hashes differently from N).
+        def canon(t: str) -> str:
+            if t.startswith(("int", "uint")):
+                return "int"
+            if t in ("float", "double", "halffloat"):
+                return "float"
+            if t.startswith(("decimal",)):
+                return "decimal"
+            if t in ("string", "large_string", "utf8", "large_utf8"):
+                return "str"
+            return t
+
+        try:
+            spark_arrow_types = {
+                f.name: str(f.type) for f in df.toArrow().schema
+            }
+        except Exception as e:  # pragma: no cover - arrow conversion gap
+            spark_arrow_types = None
+            print(f"WARN  {name}: could not derive Spark arrow schema: {e}")
+        type_mismatches = []
+        if spark_arrow_types is not None:
+            for c, t in ora_arrow_types.items():
+                st = spark_arrow_types.get(c)
+                if st is not None and canon(st) != canon(t):
+                    type_mismatches.append(f"{c}: spark={st} oracle={t}")
+        if type_mismatches:
+            print(f"FAIL  {name}: arrow type mismatch ({'; '.join(type_mismatches)})")
         s_norm, s_cols = normalize(spark_rows, spark_cols)
         o_norm, o_cols = normalize(ora_rows, ora_cols)
         ok_cols = s_cols == o_cols
         ok_count = len(s_norm) == len(o_norm)
         ok_vals = s_norm == o_norm
-        status = "OK   " if (ok_cols and ok_count and ok_vals) else "FAIL "
+        ok_types = not type_mismatches
+        status = (
+            "OK   " if (ok_cols and ok_count and ok_vals and ok_types) else "FAIL "
+        )
         if status.startswith("FAIL"):
             failures.append(name)
         print(
