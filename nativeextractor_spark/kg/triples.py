@@ -165,8 +165,13 @@ def extract_triples(
                 )
             yield pd.DataFrame(rows, columns=out_cols)
 
-    projected = pages_df.select(
-        F.col(key_col).cast("string").alias(key_col), F.col(text_col).alias("text")
+    from nativeextractor_spark.operators.extract import coalesce_for_kernel
+
+    projected = coalesce_for_kernel(
+        pages_df.select(
+            F.col(key_col).cast("string").alias(key_col),
+            F.col(text_col).alias("text"),
+        )
     )
     return projected.mapInPandas(kernel, schema=TRIPLE_SCHEMA)
 

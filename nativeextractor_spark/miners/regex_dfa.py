@@ -543,13 +543,73 @@ def _match_ends(dfa: Dfa, codes: np.ndarray) -> np.ndarray:
     return ends
 
 
+def _match_ends_multi(
+    dfa: Dfa,
+    codes: np.ndarray,
+    doc_end: np.ndarray,
+    doc_starts: np.ndarray,
+) -> np.ndarray:
+    """:func:`_match_ends` over the CONCATENATION of many documents in one
+    vectorized run (r8): ``doc_end[i]`` is the exclusive end of the
+    document containing position ``i`` (each candidate's EOF), and
+    ``doc_starts`` lists the concatenated start offsets (BOF pseudo-edges
+    apply there, exactly like position 0 of a solo run). Candidates from
+    different documents never interact — each steps only within its own
+    bounds — so the result equals running :func:`_match_ends` per document
+    (pinned by the cross-engine test), while the step loop's NumPy gathers
+    amortize over the whole batch instead of one short document."""
+    n = int(codes.size)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    cls = dfa.class_of[codes].astype(np.intp)
+    ends = np.full(n, -1, dtype=np.int64)
+    alive = np.arange(n, dtype=np.int64)
+    st = np.full(n, dfa.start, dtype=np.int64)
+    if dfa.start in dfa.bof_moves:
+        st[doc_starts] = dfa.bof_moves[dfa.start]
+    eof_final = dfa.eof_final()
+    k = 0
+    while alive.size:
+        idx = alive + k
+        bound = doc_end[alive]
+        ex = idx >= bound
+        if ex.any():
+            fin = eof_final[st[ex]]
+            ends[alive[ex][fin]] = bound[ex][fin]
+            keep = ~ex
+            alive, st = alive[keep], st[keep]
+            if not alive.size:
+                break
+            idx = alive + k
+        nxt = dfa.table[st, cls[idx]]
+        stuck = nxt < 0
+        if stuck.any():
+            fin = dfa.final[st[stuck]]
+            ends[alive[stuck][fin]] = idx[stuck][fin]
+            keep = ~stuck
+            alive, nxt = alive[keep], nxt[keep]
+        st = nxt
+        k += 1
+    return ends
+
+
+#: cap on the characters concatenated into one _match_ends_multi run — keeps
+#: the candidate arrays (~40 B/char across codes/cls/st/alive/doc_end)
+#: bounded regardless of Arrow batch shape
+_BATCH_CHARS = 4 << 20
+
+
 class DfaMiner(Miner):
     """Miner executing a compiled reference-parity DFA.
 
     Scan rule: candidates at every char position ≥ the last match end
     (leftmost non-overlapping, extractor.c:59); empty matches rejected
-    (miner.c:261-264). Execution is the vectorized ``_match_ends`` kernel;
-    ``_run_to_stuck`` is kept as the scalar reference for property tests.
+    (miner.c:261-264). Execution is the vectorized ``_match_ends`` kernel —
+    since r8 batched ACROSS the documents of an Arrow batch
+    (:func:`_match_ends_multi`): one short document used to pay the whole
+    step loop's NumPy call overhead alone (~0.5 ms/doc), now a batch of
+    documents shares it. ``_run_to_stuck`` is kept as the scalar reference
+    for property tests.
     """
 
     def __init__(self, label: str, pattern: str, prob: float = 1.0):
@@ -563,6 +623,12 @@ class DfaMiner(Miner):
         n = codes.size
         ends = _match_ends(self.dfa, codes)
         hits = np.nonzero(ends > np.arange(n, dtype=np.int64))[0]
+        yield from self._walk(hits, ends, 0, self.label, self.prob)
+
+    @staticmethod
+    def _walk(hits: np.ndarray, ends: np.ndarray, base: int, label, prob):
+        """Leftmost non-overlapping walk over match candidates (offsets
+        rebased by ``base`` for the batched path)."""
         pos = 0
         while True:
             j = int(np.searchsorted(hits, pos, side="left"))
@@ -570,5 +636,50 @@ class DfaMiner(Miner):
                 return
             p = int(hits[j])
             e = int(ends[p])
-            yield Occurrence(p, e, self.label, self.prob)
+            yield Occurrence(p - base, e - base, label, prob)
             pos = e
+
+    def find_batch(self, texts: list[str]) -> list[list[Occurrence]]:
+        out: list[list[Occurrence]] = []
+        batch: list[np.ndarray] = []
+        batch_chars = 0
+
+        def flush():
+            nonlocal batch, batch_chars
+            if not batch:
+                return
+            lens = np.fromiter(
+                (a.size for a in batch), dtype=np.int64, count=len(batch)
+            )
+            offs = np.empty(len(batch) + 1, dtype=np.int64)
+            offs[0] = 0
+            np.cumsum(lens, out=offs[1:])
+            codes = (
+                np.concatenate(batch) if offs[-1] else np.empty(0, np.uint32)
+            )
+            doc_end = np.repeat(offs[1:], lens)
+            doc_starts = offs[:-1][lens > 0]
+            ends = _match_ends_multi(self.dfa, codes, doc_end, doc_starts)
+            hit_mask = ends > np.arange(codes.size, dtype=np.int64)
+            for d in range(len(batch)):
+                lo, hi = int(offs[d]), int(offs[d + 1])
+                hits = lo + np.nonzero(hit_mask[lo:hi])[0]
+                out.append(
+                    list(self._walk(hits - lo, ends[lo:hi] - lo, 0,
+                                    self.label, self.prob))
+                    if hits.size
+                    else []
+                )
+            batch = []
+            batch_chars = 0
+
+        for t in texts:
+            if not isinstance(t, str):
+                t = ""
+            a = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+            if batch and batch_chars + a.size > _BATCH_CHARS:
+                flush()
+            batch.append(a)
+            batch_chars += a.size
+        flush()
+        return out

@@ -25,9 +25,14 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     One shuffle on the digest; partial aggregation is map-side. Returns
     (doc_id, text_hash, group_size).
     """
+    from nativeextractor_spark.operators.extract import coalesce_for_kernel
+
     h = F.sha2(F.col(text_col), 256).alias("text_hash")
     return (
-        df.select(F.col(id_col).alias("doc_id"), h)
+        # tiny-split inputs otherwise pay one shuffle-map-task setup per
+        # split (guide §2.2: fewer, larger map tasks; bytes-capped no-op
+        # at real volumes)
+        coalesce_for_kernel(df.select(F.col(id_col).alias("doc_id"), h))
         .groupBy("text_hash")
         .agg(
             F.min("doc_id").alias("doc_id"),
@@ -70,6 +75,9 @@ def _shingle_arrays(
     per-shingle slice+join allocations, measured 7-8x faster than the
     string flavor on the 50k-page table. Shared by :func:`minhash_bands`
     and the exact-Jaccard pair verification (r5)."""
+    from nativeextractor_spark.operators.extract import coalesce_for_kernel
+
+    df = coalesce_for_kernel(df)
     if shingle == "word_hash":
         toks = f"filter(split(lower({text_col}), '\\\\s+'), t -> t <> '')"
         combine = ", ".join(f"try_element_at(_th, i + {j})" for j in range(k))

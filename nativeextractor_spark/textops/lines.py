@@ -23,6 +23,11 @@ explode-shaped span engine (r4) survives as ``span_engine="explode"``
 
 from __future__ import annotations
 
+from math import floor
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -38,6 +43,160 @@ def _t6(num, den):
     return F.floor(num * 1000000.0 / F.greatest(den, F.lit(1))) / 1000000
 
 
+def _t6f(num: int, den: int) -> float:
+    """Python replica of :func:`_t6` — identical IEEE-double operation
+    order (num→double, *1e6, /den, floor, /1e6), so the kernel engine's
+    fractions are bit-equal to the SQL engines' and the DuckDB oracle's."""
+    return floor(num * 1000000.0 / max(den, 1)) / 1000000
+
+
+def _doc_repetition_metrics(text, dup_span: bool) -> tuple:
+    """One document's Gopher repetition metrics — the kernel engine's
+    per-row computation (vectorized NumPy; exact integer gram counting).
+
+    Semantics are IDENTICAL to the SQL engines (cross-engine tested):
+    lines split on ``\\n``; tokens split on every single ``[ \\n]`` char
+    (empties kept); gram identity is the exact token tuple — equal to the
+    ``string`` gram key and to ``hash`` absent xxhash64 collisions (the
+    fractions only ever depend on (count, char-length), so the top-gram
+    tie-break key never affects output). dup metric per ``dup_span``:
+    count flavor sums count*len over duplicated grams; span flavor folds
+    the token-interval union of duplicated occurrences (runs merge while
+    the next start is <= run-end start + n - 1, chars = covered token
+    lengths + internal separators) — the same rules as
+    :func:`_dup_n_local_expr` / :func:`_span_dup_chars_expr`.
+    """
+    if not isinstance(text, str):
+        text = ""
+    n_chars = len(text)
+    lines = text.split("\n")
+    n_lines = len(lines)
+    line_chars = 0
+    dup_lines = 0
+    dup_line_chars = 0
+    seen: set = set()
+    for ln in lines:
+        ln_len = len(ln)
+        line_chars += ln_len
+        if ln in seen:
+            dup_lines += 1
+            dup_line_chars += ln_len
+        else:
+            seen.add(ln)
+    # tokens: split on every single space/newline — identical to the SQL
+    # engines' split(text, '[ \n]') (empties kept, incl. trailing)
+    toks = text.replace("\n", " ").split(" ")
+    t = len(toks)
+    tlens = np.fromiter((len(x) for x in toks), dtype=np.int64, count=t)
+    pref = np.empty(t + 1, dtype=np.int64)
+    pref[0] = 0
+    np.cumsum(tlens, out=pref[1:])
+    ids, uniques = pd.factorize(np.asarray(toks, dtype=object))
+    ids = ids.astype(np.int64, copy=False)
+    n_distinct = len(uniques)
+    fracs: list[float] = []
+    # factorized code of the gram starting at i with the current length;
+    # extended one token at a time: code_{n+1}[i] = (code_n[i], ids[i+n])
+    codes = ids
+    for n in sorted(_TOP_NGRAM_MAX) + sorted(_DUP_NGRAM_MAX):
+        g = t - n + 1
+        if g <= 0:
+            fracs.append(0.0)
+            continue
+        # extend codes to length n (codes currently length t - (n-1) + 1)
+        combined = codes[:g] * n_distinct + ids[n - 1 :]
+        uniq, codes = np.unique(combined, return_inverse=True)
+        counts = np.bincount(codes)
+        if n in _TOP_NGRAM_MAX:
+            # per-gram char length (equal across a gram's occurrences):
+            # covered token chars + (n-1) separators
+            occ_glen = pref[n:] - pref[:g] + (n - 1)
+            glen = np.empty(len(uniq), dtype=np.int64)
+            glen[codes] = occ_glen
+            j = int(np.lexsort((glen, counts))[-1])
+            fracs.append(_t6f(int(counts[j]) * int(glen[j]), n_chars))
+        elif not dup_span:
+            mask = counts > 1
+            if mask.any():
+                occ_glen = pref[n:] - pref[:g] + (n - 1)
+                glen = np.empty(len(uniq), dtype=np.int64)
+                glen[codes] = occ_glen
+                dup = int((counts[mask] * glen[mask]).sum())
+            else:
+                dup = 0
+            fracs.append(_t6f(dup, n_chars))
+        else:
+            starts = np.flatnonzero(counts[codes] > 1)
+            if starts.size == 0:
+                fracs.append(0.0)
+                continue
+            # merge runs of duplicated starts: a new run begins when the
+            # gap between consecutive starts exceeds n-1 (token-interval
+            # overlap rule — adjacency does NOT merge)
+            brk = np.flatnonzero(np.diff(starts) > n - 1)
+            run_a = starts[np.concatenate(([0], brk + 1))]
+            run_b = starts[np.concatenate((brk, [starts.size - 1]))]
+            covered = int(
+                (pref[run_b + n] - pref[run_a] + (run_b + n - 1 - run_a)).sum()
+            )
+            fracs.append(_t6f(covered, n_chars))
+    return (
+        _t6f(dup_lines, n_lines),
+        _t6f(dup_line_chars, line_chars),
+        *fracs,
+    )
+
+
+def _gopher_repetition_kernel(
+    df: DataFrame, text_col: str, id_col: str, dup_flavor: str
+) -> DataFrame:
+    """Arrow-kernel engine for :func:`gopher_repetition` (r8): the same
+    zero-shuffle per-document shape as the SQL engines, but the 9-way
+    gram folds run as vectorized NumPy inside one ``mapInPandas`` pass
+    instead of interpreted Catalyst higher-order functions (guide §4.2) —
+    measured ~8x on the 50k-page bench table. Output is column- and
+    value-identical to the SQL engines (cross-engine pytest + the DuckDB
+    oracle pin it)."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    dup_span = dup_flavor == "span"
+    metric_names = [
+        "dup_line_frac",
+        "dup_line_char_frac",
+        *[f"top{n}gram_char_frac" for n in sorted(_TOP_NGRAM_MAX)],
+        *[f"dup{n}gram_char_frac" for n in sorted(_DUP_NGRAM_MAX)],
+    ]
+    thresholds = [
+        _DUP_LINE_FRAC_MAX,
+        _DUP_LINE_CHAR_FRAC_MAX,
+        *[_TOP_NGRAM_MAX[n] for n in sorted(_TOP_NGRAM_MAX)],
+        *[_DUP_NGRAM_MAX[n] for n in sorted(_DUP_NGRAM_MAX)],
+    ]
+    schema = (
+        f"doc_id {id_type}, "
+        + ", ".join(f"{m} double" for m in metric_names)
+        + ", repetition_pass boolean"
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows = np.empty((len(pdf), len(metric_names)), dtype=np.float64)
+            for r, text in enumerate(pdf["_text"]):
+                out_rows[r] = _doc_repetition_metrics(text, dup_span)
+            data = {"doc_id": pdf["doc_id"]}
+            ok = np.ones(len(pdf), dtype=bool)
+            for c, name in enumerate(metric_names):
+                data[name] = out_rows[:, c]
+                ok &= out_rows[:, c] <= thresholds[c]
+            data["repetition_pass"] = ok
+            yield pd.DataFrame(data)
+
+    from nativeextractor_spark.operators.extract import coalesce_for_kernel
+
+    return coalesce_for_kernel(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
+    ).mapInPandas(kernel, schema=schema)
+
+
 def gopher_repetition(
     df: DataFrame,
     text_col: str = "text",
@@ -46,6 +205,7 @@ def gopher_repetition(
     dup_flavor: str = "count",
     assume_unique: bool = False,
     span_engine: str = "local",
+    engine: str = "kernel",
 ) -> DataFrame:
     """Per-document Gopher repetition metrics + pass flags.
 
@@ -151,6 +311,8 @@ def gopher_repetition(
         raise ValueError(
             f"span_engine must be 'local' or 'explode', got {span_engine!r}"
         )
+    if engine not in ("kernel", "sql"):
+        raise ValueError(f"engine must be 'kernel' or 'sql', got {engine!r}")
     if dup_flavor == "span" and not assume_unique:
         # the span flavor's per-doc token-offset arrays would interleave
         # duplicate-id copies (r4 review 3) — collapse like the span
@@ -160,6 +322,16 @@ def gopher_repetition(
         from nativeextractor_spark.textops.spans import collapse_ids
 
         df = collapse_ids(df, text_col, id_col)
+    if engine == "kernel":
+        # r8 default: same zero-shuffle per-document shape, but the gram
+        # folds run as vectorized NumPy in one mapInPandas pass instead of
+        # interpreted Catalyst higher-order functions (guide §4.2 —
+        # measured ~8x on the bench table; see _gopher_repetition_kernel).
+        # gram_key does not affect output here: the kernel counts EXACT
+        # gram tuples, which equals the string key and the hash key absent
+        # xxhash64 collisions. engine="sql" keeps the r5-r7 expression
+        # engines (the independent cross-check, still oracle-pinned).
+        return _gopher_repetition_kernel(df, text_col, id_col, dup_flavor)
     # NULL text is treated as empty (split(NULL) would otherwise emit
     # zero rows and the document would vanish from the output)
     text = F.coalesce(F.col(text_col), F.lit(""))
@@ -691,7 +863,12 @@ def drop_duplicate_lines(
     """
     if line_key not in ("hash", "string"):
         raise ValueError(f"line_key must be 'hash' or 'string', got {line_key!r}")
-    rows = df.select(
+    from nativeextractor_spark.operators.extract import coalesce_for_kernel
+
+    # the exploded line rows feed two groupBys and a join — merge tiny
+    # input splits first so the shuffle map sides don't pay one task
+    # setup per split (bytes-capped no-op at real volumes)
+    rows = coalesce_for_kernel(df).select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(
             F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")

@@ -94,8 +94,15 @@ def curate_corpus(
     from nativeextractor_spark.textops.lines import gopher_repetition
     from nativeextractor_spark.textops.redact import redact_pii
 
-    df = pages.select(
-        F.col(id_col).cast("string").alias("_id"), F.col(text_col).alias("_text")
+    from nativeextractor_spark.operators.extract import coalesce_for_kernel
+
+    # merge tiny input splits before the entry collapse's shuffle map side
+    # (guide §2.2; bytes-capped no-op at real volumes)
+    df = coalesce_for_kernel(
+        pages.select(
+            F.col(id_col).cast("string").alias("_id"),
+            F.col(text_col).alias("_text"),
+        )
     )
     # ids must be unique from here on (every later stage rejoins keeper ids
     # back to the corpus — duplicate ids would MULTIPLY rows through those

@@ -184,6 +184,9 @@ def _gram_occurrences(
 def _base_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(doc_id, _toks, _tlens) — the local engine's narrow token frame:
     no offsets, no window, no join."""
+    from nativeextractor_spark.operators.extract import coalesce_for_kernel
+
+    df = coalesce_for_kernel(df)
     text = F.coalesce(F.col(text_col), F.lit(""))
     return df.select(
         F.col(id_col).alias("doc_id"),

@@ -185,14 +185,22 @@ def test_gopher_repetition_plan_zero_shuffle(spark):
         [(i, "w%d a b\nc d e" % i) for i in range(20)],
         "doc_id long, text string",
     )
-    plan = _plan(gopher_repetition(df))
+    # r8: the default engine is the Arrow kernel — same zero-shuffle bar
+    # (one MapInPandas over the scan, nothing else), and the SQL
+    # expression engines keep theirs
+    kernel_plan = _plan(gopher_repetition(df))
+    assert "Window" not in kernel_plan, kernel_plan
+    assert "Exchange" not in kernel_plan, kernel_plan
+    assert "Generate" not in kernel_plan, kernel_plan
+    assert "MapInPandas" in kernel_plan, kernel_plan
+    plan = _plan(gopher_repetition(df, engine="sql"))
     assert "Window" not in plan, plan
     assert "Exchange" not in plan, plan
     assert "Generate" not in plan, plan  # no explode survives
     # r6: the FAITHFUL span flavor is row-local too (token-interval
     # union folds; see _span_dup_chars_expr) — same zero-shuffle bar
     span_plan = _plan(
-        gopher_repetition(df, dup_flavor="span", assume_unique=True)
+        gopher_repetition(df, dup_flavor="span", assume_unique=True, engine="sql")
     )
     assert "Window" not in span_plan, span_plan
     assert "Exchange" not in span_plan, span_plan
@@ -250,3 +258,27 @@ def test_chunked_parallel_stitch_shuffles_occurrences_not_text(spark):
     j_ex = seq.find("Exchange", j_kernel)
     assert -1 < j_kernel < j_ex, seq  # text exchanged below the kernel
     assert "window" in seq[j_ex:], seq
+
+
+def test_coalesce_for_kernel_is_scale_adaptive(spark):
+    """r8: the pre-kernel/pre-shuffle partition cap merges tiny splits to
+    waves*parallelism, is a no-op on coarser inputs, never shuffles, and
+    its bytes bound keeps real-volume inputs un-coalesced."""
+    import os
+
+    from nativeextractor_spark.operators.extract import coalesce_for_kernel
+
+    df = spark.range(0, 10000, numPartitions=400).selectExpr(
+        "cast(id as string) as url", "repeat('x', 10) as text"
+    )
+    target = spark.sparkContext.defaultParallelism * 4
+    out = coalesce_for_kernel(df)
+    assert out.rdd.getNumPartitions() == min(400, target)
+    assert "Exchange" not in _plan(out)
+    few = spark.range(0, 10, numPartitions=2).toDF("id")
+    assert coalesce_for_kernel(few).rdd.getNumPartitions() == 2  # no-op
+    os.environ["SPARK_GRAFT_KERNEL_WAVES"] = "0"
+    try:
+        assert coalesce_for_kernel(df).rdd.getNumPartitions() == 400  # disabled
+    finally:
+        del os.environ["SPARK_GRAFT_KERNEL_WAVES"]

@@ -124,3 +124,32 @@ def test_vectorized_matches_scalar_reference():
             for p in range(codes.size):
                 se = _run_to_stuck(dfa, codes, p)
                 assert ve[p] == (-1 if se is None else se), (pat, t, p)
+
+
+def test_find_batch_matches_per_doc_find():
+    """r8: find_batch runs one _match_ends_multi over the concatenated
+    batch — per-doc EOF bounds and BOF pseudo-edges must keep it
+    occurrence-identical to solo find(), including across the sub-batch
+    flush boundary."""
+    import random
+
+    import nativeextractor_spark.miners.regex_dfa as rd
+
+    rng = random.Random(99)
+    alphabet = "ab c@0123.-+() \t\nřx$"
+    miners = [
+        rd.DfaMiner("EMAIL", r"[^@ \t\r\n]+@[^@ \t\r\n]+\.[^@ \t\r\n]+"),
+        rd.DfaMiner("TEL", r"[+]?[(]?[0-9]{3}[)]?[-\s.]?[0-9]{3}[-\s.]?[0-9]{4,6}"),
+        rd.DfaMiner("EDGE", r"ab*c?"),
+    ]
+    texts = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 200)))
+        for _ in range(300)
+    ] + ["", "a@b.cd", "řř +420 123 4567 x"]
+    old = rd._BATCH_CHARS
+    try:
+        rd._BATCH_CHARS = 512  # force several flushes mid-batch
+        for m in miners:
+            assert m.find_batch(texts) == [list(m.find(t)) for t in texts]
+    finally:
+        rd._BATCH_CHARS = old

@@ -523,11 +523,18 @@ def test_gopher_repetition_hash_vs_string_flavor(spark):
     ] + [(100 + i, f"doc {i} body " + " ".join(f"t{i}w{j}" for j in range(30)))
          for i in range(20)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    h = sorted(map(tuple, gopher_repetition(df, gram_key="hash").collect()))
-    s = sorted(map(tuple, gopher_repetition(df, gram_key="string").collect()))
+    h = sorted(
+        map(tuple, gopher_repetition(df, gram_key="hash", engine="sql").collect())
+    )
+    s = sorted(
+        map(
+            tuple,
+            gopher_repetition(df, gram_key="string", engine="sql").collect(),
+        )
+    )
     assert h == s
     plan = (
-        gopher_repetition(df, gram_key="hash")
+        gopher_repetition(df, gram_key="hash", engine="sql")
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
@@ -535,6 +542,51 @@ def test_gopher_repetition_hash_vs_string_flavor(spark):
     assert "array_join" not in plan  # no gram string is ever built
     with pytest.raises(ValueError):
         gopher_repetition(df, gram_key="nope")
+    with pytest.raises(ValueError):
+        gopher_repetition(df, engine="nope")
+
+
+def test_gopher_repetition_kernel_matches_sql_engines(spark):
+    """The r8 Arrow-kernel engine (the default) must be column- and
+    value-identical to the SQL expression engines for BOTH dup flavors,
+    across randomized docs with planted repeats, overlapping repeats,
+    multibyte tokens, empty/null texts, newline-heavy docs, and
+    (count, length)-tied top grams."""
+    import random
+
+    from nativeextractor_spark.textops.lines import gopher_repetition
+
+    rng = random.Random(1234)
+    vocab = [f"w{i}" for i in range(25)] + ["ř", "čč", "x", "yyyy", ""]
+    rows = [
+        (0, None),
+        (1, ""),
+        (2, "single"),
+        (3, "a b c a b c a b c"),
+        (4, "x\n\nx\n\ny z  q"),  # empty lines + double separators
+        (5, "aa bb aa bb cc\naa bb aa bb cc\ntail bit"),
+    ]
+    for i in range(60):
+        toks = [vocab[rng.randrange(len(vocab))] for _ in range(rng.randrange(1, 80))]
+        if rng.random() < 0.5 and len(toks) > 8:  # planted overlapping repeat
+            seg = toks[: rng.randrange(2, 8)]
+            toks = toks + seg + seg + toks[:3]
+        text = " ".join(toks)
+        if rng.random() < 0.4:  # newline-separated lines with repeats
+            text = text.replace(" ", "\n", rng.randrange(1, 4))
+        rows.append((10 + i, text))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for flavor in ("count", "span"):
+        k = gopher_repetition(
+            df, dup_flavor=flavor, assume_unique=True, engine="kernel"
+        )
+        q = gopher_repetition(
+            df, dup_flavor=flavor, assume_unique=True, engine="sql"
+        )
+        assert k.columns == q.columns
+        kr = sorted(map(tuple, k.collect()))
+        qr = sorted(map(tuple, q.collect()))
+        assert kr == qr, flavor
 
 
 def test_gopher_dup_fold_matches_full_fold(spark):
