@@ -63,13 +63,15 @@ def coalesce_for_kernel(df, waves: int | None = None):
       and the coalesce becomes a no-op, preserving the standard
       ~hundreds-of-MB task sizing.
 
-    Knobs: ``SPARK_GRAFT_KERNEL_WAVES`` (default 4; <= 0 disables) and
+    Knobs: ``SPARK_GRAFT_KERNEL_WAVES`` (default 2 — measured best on the
+    bench box with 1 still slightly faster but no straggler slack; <= 0
+    disables) and
     ``SPARK_GRAFT_KERNEL_TARGET_BYTES`` (default 64 MB of source bytes).
     """
     import os
 
     if waves is None:
-        waves = int(os.environ.get("SPARK_GRAFT_KERNEL_WAVES", "4"))
+        waves = int(os.environ.get("SPARK_GRAFT_KERNEL_WAVES", "2"))
     if waves <= 0:
         return df
     target_bytes = int(

@@ -161,12 +161,43 @@ def lsh_duplicate_pairs(
     Jaccard (same flavor the minhashes sampled) and the output gains a
     ``jaccard`` column — the defense against transitive CC chaining of
     borderline band collisions at corpus scale (see the inline note)."""
-    # materialize the (small: num_hashes rows/doc) band table once — the
-    # bucket sizing, the bounded join, and BOTH self-join sides consume it;
-    # without truncation each re-runs the full shingling/minhash scan
-    bands = minhash_bands(
-        df, text_col, id_col, num_hashes, k, hash_flavor, shingle
-    ).transform(stage("dedup"))
+    if hash_flavor == "md5":
+        hash_fn = lambda s: F.md5(F.concat(F.col("band").cast("string"), s))
+    elif hash_flavor == "xx64":
+        hash_fn = lambda s: F.xxhash64(F.col("band"), s)
+    else:
+        raise ValueError(f"unknown hash_flavor {hash_flavor!r}")
+    sets = None
+    if verify_jaccard is not None:
+        # r8: with verification on, shingle the corpus ONCE — stage the
+        # distinct shingle arrays and derive the band minhashes FROM the
+        # staged arrays (elementwise hash + min is invariant under
+        # duplicate removal, so min over the distinct set equals
+        # minhash_bands' min over the raw multiset). The r5-r7 shape ran a
+        # SECOND full shingling pass just to build the verification sets.
+        sets = (
+            _shingle_arrays(df, text_col, id_col, k, shingle)
+            .select("doc_id", F.array_distinct("shingles").alias("_sh"))
+            .transform(stage("dedup"))
+        )
+        band_arr = F.array(*[F.lit(i) for i in range(num_hashes)])
+        bands = (
+            sets.select("doc_id", F.explode(band_arr).alias("band"), "_sh")
+            .select(
+                "doc_id",
+                "band",
+                F.array_min(F.transform("_sh", hash_fn)).alias("min_hash"),
+            )
+            .transform(stage("dedup"))
+        )
+    else:
+        # materialize the (small: num_hashes rows/doc) band table once —
+        # the bucket sizing, the bounded join, and BOTH self-join sides
+        # consume it; without truncation each re-runs the full
+        # shingling/minhash scan
+        bands = minhash_bands(
+            df, text_col, id_col, num_hashes, k, hash_flavor, shingle
+        ).transform(stage("dedup"))
     sizes = bands.groupBy("band", "min_hash").agg(F.count("*").alias("_sz"))
     bounded = bands.join(
         sizes.where(F.col("_sz") <= max_bucket).drop("_sz"), ["band", "min_hash"]
@@ -189,15 +220,10 @@ def lsh_duplicate_pairs(
     # components and keep-min then removes whole chained clusters
     # (measured: 36% of distinct synthetic pages dropped at sf1 under the
     # defaults, BENCH/BASELINE.md). Verification computes true Jaccard
-    # over the SAME shingle sets the minhashes sampled and keeps only
-    # pairs >= the threshold — per-pair exact set intersection on the
-    # (already bucket-capped) candidate set, never all-pairs. Output
-    # gains a ``jaccard`` column (rounded to 6 decimals).
-    sets = (
-        _shingle_arrays(df, text_col, id_col, k, shingle)
-        .select("doc_id", F.array_distinct("shingles").alias("_sh"))
-        .transform(stage("dedup"))
-    )
+    # over the SAME shingle sets the minhashes sampled (the staged arrays
+    # above) and keeps only pairs >= the threshold — per-pair exact set
+    # intersection on the (already bucket-capped) candidate set, never
+    # all-pairs. Output gains a ``jaccard`` column (rounded to 6 decimals).
     verified = (
         pairs.join(
             sets.select(F.col("doc_id").alias("doc_a"), F.col("_sh").alias("_sa")),

@@ -895,36 +895,33 @@ def drop_duplicate_lines(
     # the explicit exempt disjunct is belt-and-braces under hash keys: an
     # exempt line whose xxhash64 collides with a duplicated line's key
     # would otherwise join a first-occurrence record and be dropped
-    kept = (
-        rows.join(firsts, key, "left")
-        .where(
-            exempt
-            | F.col("_first").isNull()
-            | (
-                (F.col("doc_id") == F.col("_first.doc_id"))
-                & (F.col("pos") == F.col("_first.pos"))
-            )
+    keep_cond = (
+        exempt
+        | F.col("_first").isNull()
+        | (
+            (F.col("doc_id") == F.col("_first.doc_id"))
+            & (F.col("pos") == F.col("_first.pos"))
         )
-        .select("doc_id", "pos", "line")
     )
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.array_join(
-            F.array_sort(
-                F.collect_list(F.struct("pos", "line"))
-            ).getField("line"),
-            "\n",
-        ).alias("text"),
-        F.count("*").alias("n_lines"),
-    )
-    totals = rows.groupBy("doc_id").agg(F.count("*").alias("_total"))
+    # r8: ONE per-doc aggregate rebuilds text AND counts totals —
+    # collect_list skips the NULL structs of removed lines, so the kept
+    # filter, the rebuild, the total-line count, and the removed count all
+    # come out of a single shuffle (the r4-r7 shape ran a second
+    # corpus-volume groupBy for totals plus a doc-level join to stitch
+    # them; plan: 3 corpus shuffles -> 2). Every doc has >= 1 line row
+    # (split of '' is ['']), so no left join is needed to keep empty docs.
     return (
-        totals.join(rebuilt, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("text", F.lit("")).alias("text"),
-            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
-            (F.col("_total") - F.coalesce("n_lines", F.lit(0))).alias(
-                "n_removed"
-            ),
+        rows.join(firsts, key, "left")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(F.when(keep_cond, F.struct("pos", "line")))
+                ).getField("line"),
+                "\n",
+            ).alias("text"),
+            F.sum(keep_cond.cast("long")).alias("n_lines"),
+            F.sum((~keep_cond).cast("long")).alias("n_removed"),
         )
+        .select("doc_id", "text", "n_lines", "n_removed")
     )
