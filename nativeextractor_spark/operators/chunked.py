@@ -330,13 +330,21 @@ def _scan_kernel(
     offsets plus the chunk meta row. No cross-row state; order-free."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = [
-            key_col, "chunk_id", "kind", "mi", "ustart", "uend", "pos",
-            "end", "label", "prob", "str", "lb", "lb_bytes", "n_nom",
-            "nominal_bytes", "full_la",
-        ]
         for pdf in batches:
-            rows: list[tuple] = []
+            # window prep pass: meta per usable chunk row (r8: miners then
+            # scan ALL windows in one find_batch call per miner, and
+            # occurrence emission is array-built — the r7 per-occurrence
+            # rows.append made phase 1 Python-bound on dense-match miners,
+            # VERDICT r7 #3)
+            keys: list = []
+            cids: list[int] = []
+            lbs: list[int] = []
+            n_noms: list[int] = []
+            windows: list[str] = []
+            offs_l: list = []
+            lbb_l: list[int] = []
+            nomb_l: list[int] = []
+            fla_l: list[bool] = []
             for key, cid, lb, n_nom, window in zip(
                 pdf[key_col], pdf["chunk_id"], pdf["lb"],
                 pdf["n_nominal"], pdf["window"],
@@ -354,39 +362,117 @@ def _scan_kernel(
                     nominal_bytes = (
                         int(offs[min(lb + n_nom, len(window))]) - lb_bytes
                     )
-                full_la = (
+                full_la = bool(
                     overlap_chars is not None
                     and len(window) - lb - n_nom >= overlap_chars
                 )
-                rows.append((
-                    key, cid, 0, -1, 0, 0, 0, 0, None, 0.0, None,
-                    lb, lb_bytes, n_nom, nominal_bytes, bool(full_la),
-                ))
-                for mi, m in enumerate(miners):
-                    for occ in m.find_batch([window])[0]:
-                        if not (lb <= occ.ustart < lb + n_nom):
-                            continue
-                        if full_la and occ.uend >= len(window):
-                            raise ValueError(
-                                f"chunked scan: occurrence {occ.label!r} "
-                                f"at doc {key!r} chunk {cid} runs to the "
-                                "end of its lookahead window — it may be "
-                                "truncated at the chunk seam. Increase "
-                                "overlap_chars beyond the longest span "
-                                "your miners can emit."
-                            )
-                        if offs is None:
-                            p0, p1 = occ.ustart, occ.uend
-                        else:
-                            p0, p1 = int(offs[occ.ustart]), int(offs[occ.uend])
-                        rows.append((
-                            key, cid, 1, mi, occ.ustart, occ.uend, p0, p1,
-                            occ.label, occ.prob,
-                            window[occ.ustart : occ.uend],
-                            lb, lb_bytes, n_nom, nominal_bytes, False,
-                        ))
-            if rows:
-                yield pd.DataFrame(rows, columns=cols)
+                keys.append(key)
+                cids.append(cid)
+                lbs.append(lb)
+                n_noms.append(n_nom)
+                windows.append(window)
+                offs_l.append(offs)
+                lbb_l.append(lb_bytes)
+                nomb_l.append(nominal_bytes)
+                fla_l.append(full_la)
+
+            n_win = len(windows)
+            per_miner = [m.find_batch(windows) for m in miners]
+            # output columns accumulate as per-(window, miner) array parts;
+            # meta rows (kind 0) first so schema examples stay obvious
+            part_key: list = list(keys)
+            part_cid = [np.asarray(cids, dtype=np.int64)]
+            part_kind = [np.zeros(n_win, dtype=np.int32)]
+            part_mi = [np.full(n_win, -1, dtype=np.int32)]
+            zeros = np.zeros(n_win, dtype=np.int64)
+            part_us = [zeros]
+            part_ue = [zeros]
+            part_p0 = [zeros]
+            part_p1 = [zeros]
+            part_label: list = [None] * n_win
+            part_prob = [np.zeros(n_win, dtype=np.float32)]
+            part_str: list = [None] * n_win
+            part_lb = [np.asarray(lbs, dtype=np.int32)]
+            part_lbb = [np.asarray(lbb_l, dtype=np.int64)]
+            part_nnom = [np.asarray(n_noms, dtype=np.int32)]
+            part_nomb = [np.asarray(nomb_l, dtype=np.int64)]
+            part_fla = [np.asarray(fla_l, dtype=bool)]
+            for w in range(n_win):
+                lb, n_nom, window = lbs[w], n_noms[w], windows[w]
+                offs = offs_l[w]
+                for mi in range(len(miners)):
+                    occs = per_miner[mi][w]
+                    if not occs:
+                        continue
+                    n = len(occs)
+                    us = np.fromiter((o.ustart for o in occs), np.int64, n)
+                    ue = np.fromiter((o.uend for o in occs), np.int64, n)
+                    own = (us >= lb) & (us < lb + n_nom)
+                    if not own.any():
+                        continue
+                    if fla_l[w] and bool((ue[own] >= len(window)).any()):
+                        bad = int(np.flatnonzero(own & (ue >= len(window)))[0])
+                        raise ValueError(
+                            f"chunked scan: occurrence {occs[bad].label!r} "
+                            f"at doc {keys[w]!r} chunk {cids[w]} runs to "
+                            "the end of its lookahead window — it may be "
+                            "truncated at the chunk seam. Increase "
+                            "overlap_chars beyond the longest span "
+                            "your miners can emit."
+                        )
+                    us, ue = us[own], ue[own]
+                    if offs is None:
+                        p0, p1 = us, ue
+                    else:
+                        p0, p1 = offs[us], offs[ue]
+                    k = us.size
+                    part_key.extend([keys[w]] * k)
+                    part_cid.append(np.full(k, cids[w], dtype=np.int64))
+                    part_kind.append(np.ones(k, dtype=np.int32))
+                    part_mi.append(np.full(k, mi, dtype=np.int32))
+                    part_us.append(us)
+                    part_ue.append(ue)
+                    part_p0.append(p0)
+                    part_p1.append(p1)
+                    part_label.extend(
+                        [o.label for o, keep in zip(occs, own) if keep]
+                    )
+                    part_prob.append(
+                        np.fromiter(
+                            (o.prob for o, keep in zip(occs, own) if keep),
+                            np.float32,
+                            k,
+                        )
+                    )
+                    part_str.extend(
+                        [window[a:b] for a, b in zip(us, ue)]
+                    )
+                    part_lb.append(np.full(k, lb, dtype=np.int32))
+                    part_lbb.append(np.full(k, lbb_l[w], dtype=np.int64))
+                    part_nnom.append(np.full(k, n_nom, dtype=np.int32))
+                    part_nomb.append(np.full(k, nomb_l[w], dtype=np.int64))
+                    part_fla.append(np.zeros(k, dtype=bool))
+            if part_key:
+                yield pd.DataFrame(
+                    {
+                        key_col: part_key,
+                        "chunk_id": np.concatenate(part_cid),
+                        "kind": np.concatenate(part_kind),
+                        "mi": np.concatenate(part_mi),
+                        "ustart": np.concatenate(part_us),
+                        "uend": np.concatenate(part_ue),
+                        "pos": np.concatenate(part_p0),
+                        "end": np.concatenate(part_p1),
+                        "label": part_label,
+                        "prob": np.concatenate(part_prob),
+                        "str": part_str,
+                        "lb": np.concatenate(part_lb),
+                        "lb_bytes": np.concatenate(part_lbb),
+                        "n_nom": np.concatenate(part_nnom),
+                        "nominal_bytes": np.concatenate(part_nomb),
+                        "full_la": np.concatenate(part_fla),
+                    }
+                )
             else:
                 yield pd.DataFrame(
                     {
@@ -474,9 +560,28 @@ def _fold_kernel(n_miners: int, no_enclosed: bool, key_col: str):
             return out
 
         def walk(pdf: pd.DataFrame):
+            # r8 (VERDICT r7 #3): indexed column-array access instead of
+            # itertuples — the per-row namedtuple construction dominated
+            # the fold on dense-occurrence streams; the state chain itself
+            # (end_last/last_max) is inherently sequential and stays a
+            # tight int loop
             nonlocal cur_key, char_base, byte_base, end_last, last_max, meta
-            for row in pdf.itertuples(index=False):
-                key = getattr(row, key_col)
+            keys_a = pdf[key_col].tolist()
+            kind_a = pdf["kind"].to_numpy()
+            mi_a = pdf["mi"].to_numpy()
+            us_a = pdf["ustart"].to_numpy()
+            ue_a = pdf["uend"].to_numpy()
+            p0_a = pdf["pos"].to_numpy()
+            p1_a = pdf["end"].to_numpy()
+            lbl_a = pdf["label"].tolist()
+            prb_a = pdf["prob"].to_numpy()
+            str_a = pdf["str"].tolist()
+            lb_a = pdf["lb"].to_numpy()
+            lbb_a = pdf["lb_bytes"].to_numpy()
+            nnom_a = pdf["n_nom"].to_numpy()
+            nomb_a = pdf["nominal_bytes"].to_numpy()
+            for i in range(len(keys_a)):
+                key = keys_a[i]
                 if key != cur_key:
                     out = flush()
                     if out is not None:
@@ -486,32 +591,32 @@ def _fold_kernel(n_miners: int, no_enclosed: bool, key_col: str):
                     end_last = [0] * n_miners
                     last_max = 0
                     meta = None
-                if row.kind == 0:
+                if kind_a[i] == 0:
                     out = flush()
                     if out is not None:
                         yield out
                     meta = (
-                        char_base - row.lb,
-                        byte_base - row.lb_bytes,
-                        int(row.n_nom),
-                        int(row.nominal_bytes),
+                        char_base - int(lb_a[i]),
+                        byte_base - int(lbb_a[i]),
+                        int(nnom_a[i]),
+                        int(nomb_a[i]),
                     )
                     continue
                 w_char, w_byte = meta[0], meta[1]
-                ap0, ap1 = w_byte + row.pos, w_byte + row.end
-                mi = int(row.mi)
+                ap0, ap1 = w_byte + int(p0_a[i]), w_byte + int(p1_a[i])
+                mi = int(mi_a[i])
                 if ap0 < end_last[mi]:
                     continue
-                end_last[mi] = max(end_last[mi], int(ap1))
+                end_last[mi] = max(end_last[mi], ap1)
                 buf.append(
                     (
-                        w_char + row.ustart,
-                        w_char + row.uend,
+                        w_char + int(us_a[i]),
+                        w_char + int(ue_a[i]),
                         ap0,
                         ap1,
-                        row.label,
-                        row.prob,
-                        getattr(row, "str"),
+                        lbl_a[i],
+                        prb_a[i],
+                        str_a[i],
                     )
                 )
 
