@@ -548,7 +548,13 @@ def _star_first_res(glob: str):
     # attempt at the next token start (mark_start lands AFTER the skip,
     # verified against the naive walk)
     cand_re = compile_cached(f"(?:\\A|(?<=[{d}]))[^{d}]")
-    return body_re, cand_re
+    # r8 single-pass form: candidate anchor (lookbehind + non-consuming
+    # content-char lookahead — exactly cand_re's positions) fused with the
+    # body, so the WHOLE scan is one C finditer (see fast_star_first_scan)
+    fused_re = compile_cached(
+        f"(?:\\A|(?<=[{d}]))(?=[^{d}])(?:{translate_fragment(glob)}{tail})"
+    )
+    return body_re, cand_re, fused_re
 
 
 def fast_star_first_scan(text: str, glob: str) -> list[tuple[int, int]]:
@@ -584,27 +590,26 @@ def fast_star_first_scan(text: str, glob: str) -> list[tuple[int, int]]:
     the guard advances to end+1 — exactly the mid-star success rule.
 
     Property-tested against :func:`_reference_glob_scan_naive`.
+
+    r8: the loop above is now executed as ONE C ``finditer`` over the
+    fused candidate+body pattern. Equivalence of the fused form:
+
+    - candidate positions are identical (the lookbehind/\\A alternation
+      plus a non-consuming ``(?=[^d])`` reproduce cand_re's positions);
+    - at a candidate, the fused body matches iff ``body_re.match`` does,
+      with the same alternation order, hence the same end;
+    - the loop's jumps only SKIP positions that can never yield a match:
+      after a success ending at e (always a token end, so text[e] is a
+      delimiter or EOF), positions up to e fail the candidate anchor; a
+      failed attempt at candidate p jumps one-past-p's-token, and every
+      in-between position either fails the anchor (mid-token) or — for a
+      later candidate inside the same token, which cannot exist for
+      star-first (candidates are token STARTS) — is vacuous. finditer's
+      char-by-char advance therefore attempts a superset of positions
+      whose extra attempts all fail instantly, and emits the same spans.
     """
-    body_re, cand_re = _star_first_res(glob)
-    delim_search = _delim_re().search
-    out: list[tuple[int, int]] = []
-    n = len(text)
-    pos = 0
-    search = cand_re.search
-    while pos < n:
-        hit = search(text, pos)
-        if hit is None:
-            break
-        p = hit.start()
-        m = body_re.match(text, p)
-        if m is not None:
-            e = m.end()
-            out.append((p, e))
-            pos = max(p + 1, e + 1 if e < n else e)
-        else:
-            hitd = delim_search(text, p + 1)
-            pos = hitd.start() + 1 if hitd else n
-    return out
+    _, _, fused_re = _star_first_res(glob)
+    return [(m.start(), m.end()) for m in fused_re.finditer(text)]
 
 
 @_lru_cache(maxsize=1024)
@@ -697,10 +702,11 @@ def _multi_star_res(glob: str):
         combo_re = compile_cached(f"(?:(?P<occ>{body})|(?P<pre>{translate_fragment(a)}))")
         return combo_re, None
     # star-first shape: token-start anchored candidates (the glob-level
-    # entry skip runs for the non-delimiter-starting '*')
-    body_re = compile_cached(body)
-    cand_re = compile_cached(f"(?:\\A|(?<=[{d}]))[^{d}]")
-    return body_re, cand_re
+    # entry skip runs for the non-delimiter-starting '*'). r8: fused into
+    # one finditer pattern exactly like _star_first_res (the no-leak proof
+    # in the class docstring gives the same candidate/jump structure).
+    fused_re = compile_cached(f"(?:\\A|(?<=[{d}]))(?=[^{d}])(?:{body})")
+    return fused_re, "fused"
 
 
 def fast_multi_star_scan(text: str, glob: str) -> list[tuple[int, int]]:
@@ -732,22 +738,10 @@ def fast_multi_star_scan(text: str, glob: str) -> list[tuple[int, int]]:
     out: list[tuple[int, int]] = []
     n = len(text)
     pos = 0
-    if cand_re is not None:  # star-first shape
-        search = cand_re.search
-        while pos < n:
-            hit = search(text, pos)
-            if hit is None:
-                break
-            p = hit.start()
-            m = re1.match(text, p)
-            if m is not None:
-                e = m.end()
-                out.append((p, e))
-                pos = max(p + 1, e + 1 if e < n else e)
-            else:
-                hitd = delim_search(text, p + 1)
-                pos = hitd.start() + 1 if hitd else n
-        return out
+    if cand_re == "fused":  # star-first shape: one C finditer (r8; the
+        # fused-pattern equivalence argument is fast_star_first_scan's —
+        # same candidate anchor, same no-leak jump structure)
+        return [(m.start(), m.end()) for m in re1.finditer(text)]
     cand = _candidate_re(glob)
     cand_iter = cand.finditer(text)
     while pos < n:

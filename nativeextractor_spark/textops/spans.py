@@ -197,16 +197,35 @@ def _base_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def _occ_token_index(base: DataFrame, n: int, gram_key: str) -> DataFrame:
     """(doc_id, gk, i): one row per n-gram occurrence, ``i`` the 1-based
     start-token index. Same slice-to-true-length guard as
-    :func:`gram_interval_expr`; gram identity matches the explode engine
-    (xxhash64 of the token slice / joined string)."""
-    key = (
-        f"xxhash64(slice(_toks, i, {n}))"
-        if gram_key == "hash"
-        else f"array_join(slice(_toks, i, {n}), ' ')"
-    )
+    :func:`gram_interval_expr`.
+
+    ``gram_key="hash"`` (r8): gram identity is an xxhash64 COMBINE of the
+    n member token hashes (each token hashed once per doc) — the
+    ``word_hash`` trick from textops.dedup — instead of the r7
+    ``xxhash64(slice(_toks, i, n))``, which re-hashed n strings and
+    allocated a slice per gram (~n times the hash work per gram at
+    corpus volume). The key's VALUE changes, but gk never leaves this
+    computation (the global count and the eligibility join both consume
+    this frame), so output changes only under 64-bit collisions — the
+    same tolerance class as before, and the string flavor stays the
+    collision-free oracle path."""
+    if gram_key == "hash":
+        combine = ", ".join(f"try_element_at(_th, i + {j})" for j in range(n))
+        arr = (
+            f"slice(transform(sequence(1, greatest(size(_toks) - {n - 1}, 1)),"
+            f" i -> struct(xxhash64({combine}) AS gk, i AS i)),"
+            f" 1, greatest(size(_toks) - {n - 1}, 0))"
+        )
+        return (
+            base.withColumn("_th", F.expr("transform(_toks, t -> xxhash64(t))"))
+            .select("doc_id", F.explode(F.expr(arr)).alias("_g"))
+            .select(
+                "doc_id", F.col("_g.gk").alias("gk"), F.col("_g.i").alias("i")
+            )
+        )
     arr = (
         f"slice(transform(sequence(1, greatest(size(_toks) - {n - 1}, 1)),"
-        f" i -> struct({key} AS gk, i AS i)),"
+        f" i -> struct(array_join(slice(_toks, i, {n}), ' ') AS gk, i AS i)),"
         f" 1, greatest(size(_toks) - {n - 1}, 0))"
     )
     return base.select("doc_id", F.explode(F.expr(arr)).alias("_g")).select(
@@ -273,16 +292,28 @@ def _eligible_starts(
             # join below matches duplicated keys only, so filtering the
             # probe side would change nothing but pay a second Arrow pass
             counted = filter_candidates(occ, "gk", plane, m_bits)
-    dup = (
+    # r8: the count shuffle carries ONLY (gk, partial count) — 16 bytes
+    # per gram after map-side combine. The r7 shape rode the global-first
+    # min(struct(doc_id, i)) through the same aggregate, tripling the
+    # exchange bytes with a string payload (guide §2.3: shuffle keys and
+    # metadata, not payloads); the first-occurrence pick only matters for
+    # DUPLICATED grams, so it now runs over the dup-only slice, which is
+    # staged once (dup-only volume — the same bounded-build-side class as
+    # the LSH band table) and feeds both the firsts aggregate and the
+    # eligibility join.
+    from nativeextractor_spark.staging import stage
+
+    dup_gks = (
         counted.groupBy("gk")
-        .agg(
-            F.count("*").alias("_c"),
-            F.min(F.struct("doc_id", "i")).alias("_first"),
-        )
+        .agg(F.count("*").alias("_c"))
         .where(F.col("_c") > 1)
-        .select("gk", "_first")
+        .select("gk")
     )
-    elig = occ.join(dup, "gk")
+    occ_dup = occ.join(dup_gks, "gk").transform(stage("spans-dup"))
+    dup = occ_dup.groupBy("gk").agg(
+        F.min(F.struct("doc_id", "i")).alias("_first")
+    )
+    elig = occ_dup.join(dup, "gk")
     if keep == "first":
         elig = elig.where(
             ~(

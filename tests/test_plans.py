@@ -271,7 +271,7 @@ def test_coalesce_for_kernel_is_scale_adaptive(spark):
     df = spark.range(0, 10000, numPartitions=400).selectExpr(
         "cast(id as string) as url", "repeat('x', 10) as text"
     )
-    target = spark.sparkContext.defaultParallelism * 4
+    target = spark.sparkContext.defaultParallelism * 2  # default waves
     out = coalesce_for_kernel(df)
     assert out.rdd.getNumPartitions() == min(400, target)
     assert "Exchange" not in _plan(out)

@@ -149,9 +149,25 @@ def test_span_local_engine_plan_has_no_token_window(spark):
     assert "Window" not in plan, plan
     assert "posexplode" not in plan, plan
     # sketch path: the candidate filter is an Arrow kernel upstream of
-    # the count aggregate
+    # the count aggregate. r8: the dup-only occurrence slice is staged
+    # (eager), which truncates the returned plan's lineage — so probe the
+    # PRE-stage fragment (occ -> filter_candidates) for the kernel node;
+    # the final plan stays Window-free like the off path.
+    from nativeextractor_spark.textops.sketch import (
+        build_candidate_plane,
+        filter_candidates,
+    )
+    from nativeextractor_spark.textops.spans import (
+        _base_tokens,
+        _occ_token_index,
+    )
+
+    base = _base_tokens(df, "text", "doc_id")
+    occ = _occ_token_index(base, 4, "hash")
+    plane, m_bits = build_candidate_plane(occ, "gk", 64)
+    frag = _plan(filter_candidates(occ, "gk", plane, m_bits))
+    assert "MapInPandas" in frag, frag
     plan_sk = _plan(duplicate_spans(df, n_tokens=4, prefilter="sketch"))
-    assert "MapInPandas" in plan_sk, plan_sk
     assert "Window" not in plan_sk, plan_sk
 
 
