@@ -161,11 +161,7 @@ def lsh_duplicate_pairs(
     Jaccard (same flavor the minhashes sampled) and the output gains a
     ``jaccard`` column — the defense against transitive CC chaining of
     borderline band collisions at corpus scale (see the inline note)."""
-    if hash_flavor == "md5":
-        hash_fn = lambda s: F.md5(F.concat(F.col("band").cast("string"), s))
-    elif hash_flavor == "xx64":
-        hash_fn = lambda s: F.xxhash64(F.col("band"), s)
-    else:
+    if hash_flavor not in ("md5", "xx64"):
         raise ValueError(f"unknown hash_flavor {hash_flavor!r}")
     sets = None
     if verify_jaccard is not None:
@@ -180,13 +176,25 @@ def lsh_duplicate_pairs(
             .select("doc_id", F.array_distinct("shingles").alias("_sh"))
             .transform(stage("dedup"))
         )
-        band_arr = F.array(*[F.lit(i) for i in range(num_hashes)])
+        # all band minhashes in ONE projection then posexplode (r8): _sh
+        # is a STAGED column here, so hash-then-explode cannot trigger the
+        # CollapseProject re-shingling trap that forces minhash_bands'
+        # explode-then-hash order — and the per-band rows stop carrying
+        # (and copying) the full shingle array through the Generate
+        if hash_flavor == "xx64":
+            mh = (
+                f"transform(sequence(0, {num_hashes - 1}),"
+                " b -> array_min(transform(_sh, s -> xxhash64(b, s))))"
+            )
+        else:  # md5
+            mh = (
+                f"transform(sequence(0, {num_hashes - 1}),"
+                " b -> array_min(transform(_sh,"
+                " s -> md5(concat(cast(b as string), s)))))"
+            )
         bands = (
-            sets.select("doc_id", F.explode(band_arr).alias("band"), "_sh")
-            .select(
-                "doc_id",
-                "band",
-                F.array_min(F.transform("_sh", hash_fn)).alias("min_hash"),
+            sets.select(
+                "doc_id", F.posexplode(F.expr(mh)).alias("band", "min_hash")
             )
             .transform(stage("dedup"))
         )

@@ -147,6 +147,93 @@ def _doc_repetition_metrics(text, dup_span: bool) -> tuple:
     )
 
 
+_WS_ASCII = None  # lazy re.compile (keeps module import cheap)
+_ALPHA_RE = None
+_STOPWORDS = frozenset(
+    ["the", "be", "to", "of", "and", "that", "have", "with"]
+)
+
+
+def _doc_quality_pass(text) -> bool:
+    """Python replica of :func:`textops.quality.gopher_quality_filters`'s
+    ``gopher_pass`` — identical tokenization (ASCII ``\\s+`` split, the
+    same class Java's regex uses; empties kept) and identical IEEE-double
+    ratio comparisons, so the fused curation filter kernel (r8) computes
+    the same keep set the JVM operator does (the standalone operator and
+    its oracle query are unchanged)."""
+    global _WS_ASCII, _ALPHA_RE
+    if _WS_ASCII is None:
+        import re
+
+        _WS_ASCII = re.compile(r"\s+", re.ASCII)
+        _ALPHA_RE = re.compile(r"[a-zA-Z]")
+    if not isinstance(text, str):
+        text = ""
+    toks = _WS_ASCII.split(text.lower())
+    n_words = len(toks)
+    if not (50 <= n_words <= 100000):
+        return False
+    den = max(n_words, 1)
+    ciw = 0
+    n_sym = 0
+    n_alpha = 0
+    n_stop = 0
+    search = _ALPHA_RE.search
+    for t in toks:
+        ciw += len(t)
+        if "#" in t or "..." in t:
+            n_sym += 1
+        if search(t):
+            n_alpha += 1
+        if t in _STOPWORDS:
+            n_stop += 1
+    mean_wl = ciw / den
+    return (
+        3 <= mean_wl <= 10
+        and n_sym / den <= 0.1
+        and n_alpha / den >= 0.8
+        and n_stop >= 2
+    )
+
+
+def gopher_filter_keep_kernel(
+    df: DataFrame, text_col: str, id_col: str, dup_flavor: str
+) -> DataFrame:
+    """(doc_id) rows passing BOTH the Gopher quality rules and the
+    repetition rules — the curation pipeline's filter stage as ONE Arrow
+    kernel pass (r8): one JVM↔Python crossing and one keep-join where the
+    r5-r7 pipeline ran a separate JVM quality scan, a repetition scan,
+    and an extra id join. Semantics identical by construction
+    (:func:`_doc_quality_pass` + :func:`_doc_repetition_metrics`); the
+    standalone operators and their oracle rows are untouched, and the
+    curate oracle replays both rule sets stage-by-stage."""
+    from nativeextractor_spark.operators.extract import coalesce_for_kernel
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    dup_span = dup_flavor == "span"
+    thresholds = [
+        _DUP_LINE_FRAC_MAX,
+        _DUP_LINE_CHAR_FRAC_MAX,
+        *[_TOP_NGRAM_MAX[n] for n in sorted(_TOP_NGRAM_MAX)],
+        *[_DUP_NGRAM_MAX[n] for n in sorted(_DUP_NGRAM_MAX)],
+    ]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["_text"]):
+                if not _doc_quality_pass(text):
+                    continue
+                metrics = _doc_repetition_metrics(text, dup_span)
+                if all(m <= t for m, t in zip(metrics, thresholds)):
+                    ids.append(doc_id)
+            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype=object)})
+
+    return coalesce_for_kernel(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
+    ).mapInPandas(kernel, schema=f"doc_id {id_type}")
+
+
 def _gopher_repetition_kernel(
     df: DataFrame, text_col: str, id_col: str, dup_flavor: str
 ) -> DataFrame:

@@ -151,10 +151,23 @@ def curate_corpus(
 
     if quality_filter or repetition_filter or languages:
         keep = None
-        if quality_filter:
+        if quality_filter and repetition_filter:
+            # r8: both rule sets in ONE Arrow kernel pass over the corpus
+            # (one boundary crossing, one keep-join) — semantics identical
+            # to the separate operators (same tokenization and IEEE ratio
+            # comparisons; the standalone operators and the stage-by-stage
+            # curate oracle are unchanged)
+            from nativeextractor_spark.textops.lines import (
+                gopher_filter_keep_kernel,
+            )
+
+            keep = gopher_filter_keep_kernel(
+                df, "_text", "_id", repetition_flavor
+            ).select(F.col("doc_id").alias("_id"))
+        elif quality_filter:
             q = gopher_quality_filters(df, text_col="_text", id_col="_id")
             keep = q.where("gopher_pass").select(F.col("doc_id").alias("_id"))
-        if repetition_filter:
+        if repetition_filter and keep is None:
             # repetition_flavor="span" (default, r5) is the paper-faithful
             # span-union dup-gram rule (pass rates comparable to published
             # Gopher numbers); "count" is the cheaper upper bound — see the

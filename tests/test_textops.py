@@ -1183,3 +1183,54 @@ def test_curate_corpus_default_verifies_borderline_chain(spark):
     )
     got_raw = {r.url for r in out_raw.collect()}
     assert len(got_raw) < 4, got_raw
+
+
+def test_fused_filter_kernel_matches_separate_operators(spark):
+    """r8: the curation pipeline's fused quality+repetition keep kernel
+    must select EXACTLY the ids that pass gopher_quality_filters AND
+    gopher_repetition, across randomized docs including boundary word
+    counts, symbol-heavy tokens, stopword-poor texts, repeats, and
+    empty/null rows — for both dup flavors."""
+    import random
+
+    from nativeextractor_spark.textops.lines import (
+        gopher_filter_keep_kernel,
+        gopher_repetition,
+    )
+    from nativeextractor_spark.textops.quality import gopher_quality_filters
+
+    rng = random.Random(31)
+    stops = ["the", "be", "to", "of", "and", "that", "have", "with"]
+    vocab = ["alpha", "beta", "##", "x...", "12", "q", "réé"] + stops
+    rows = [(0, None), (1, ""), (2, "the of " + "word " * 48)]
+    for i in range(50):
+        n = rng.choice([5, 49, 50, 51, 80, 120])
+        toks = [vocab[rng.randrange(len(vocab))] for _ in range(n)]
+        if rng.random() < 0.5 and n > 10:  # planted repetition
+            seg = toks[:5]
+            toks += seg * rng.randrange(1, 4)
+        text = " ".join(toks)
+        if rng.random() < 0.3:
+            text = text.replace(" ", "\n", 3)
+        rows.append((10 + i, text))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for flavor in ("count", "span"):
+        fused = sorted(
+            r.doc_id
+            for r in gopher_filter_keep_kernel(
+                df, "text", "doc_id", flavor
+            ).collect()
+        )
+        q = {
+            r.doc_id
+            for r in gopher_quality_filters(df).collect()
+            if r.gopher_pass
+        }
+        rep = {
+            r.doc_id
+            for r in gopher_repetition(
+                df, dup_flavor=flavor, assume_unique=True
+            ).collect()
+            if r.repetition_pass
+        }
+        assert fused == sorted(q & rep), flavor
