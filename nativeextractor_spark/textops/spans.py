@@ -292,28 +292,57 @@ def _eligible_starts(
             # join below matches duplicated keys only, so filtering the
             # probe side would change nothing but pay a second Arrow pass
             counted = filter_candidates(occ, "gk", plane, m_bits)
-    # r8: the count shuffle carries ONLY (gk, partial count) — 16 bytes
-    # per gram after map-side combine. The r7 shape rode the global-first
-    # min(struct(doc_id, i)) through the same aggregate, tripling the
-    # exchange bytes with a string payload (guide §2.3: shuffle keys and
-    # metadata, not payloads); the first-occurrence pick only matters for
-    # DUPLICATED grams, so it now runs over the dup-only slice, which is
-    # staged once (dup-only volume — the same bounded-build-side class as
-    # the LSH band table) and feeds both the firsts aggregate and the
-    # eligibility join.
+    # r8 two-phase count (size-gated): above the threshold the count
+    # shuffle carries ONLY (gk, partial count) — 16 bytes per gram after
+    # map-side combine — and the global-first min(struct(doc_id, i))
+    # string payload moves to the dup-only slice (staged once — the same
+    # bounded-build-side class as the LSH band table), which feeds both
+    # the firsts aggregate and the eligibility join (guide §2.3: shuffle
+    # keys and metadata, not payloads). Measured sf1: dup_span_stats
+    # 21.6 -> 14.5. BELOW the threshold the single combined aggregate
+    # (the r7 shape) stays: at sf0.1 the extra barrier job + second
+    # corpus pass cost more than the shuffle bytes saved (same
+    # crossover logic as the sketch prefilter's auto rule). Gate input:
+    # Catalyst's optimized-plan size stat for the token frame; unknown
+    # stats (~2^63) resolve to two-phase, the scale-safe side.
+    import os
+
     from nativeextractor_spark.staging import stage
 
-    dup_gks = (
-        counted.groupBy("gk")
-        .agg(F.count("*").alias("_c"))
-        .where(F.col("_c") > 1)
-        .select("gk")
+    two_phase_min = int(
+        os.environ.get(
+            "SPARK_GRAFT_SPAN_TWO_PHASE_MIN_BYTES", str(32 << 20)
+        )
     )
-    occ_dup = occ.join(dup_gks, "gk").transform(stage("spans-dup"))
-    dup = occ_dup.groupBy("gk").agg(
-        F.min(F.struct("doc_id", "i")).alias("_first")
-    )
-    elig = occ_dup.join(dup, "gk")
+    try:
+        base_bytes = int(
+            base._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        base_bytes = two_phase_min  # unknown: assume large (scale-safe)
+    if base_bytes < two_phase_min:
+        dup = (
+            counted.groupBy("gk")
+            .agg(
+                F.count("*").alias("_c"),
+                F.min(F.struct("doc_id", "i")).alias("_first"),
+            )
+            .where(F.col("_c") > 1)
+            .select("gk", "_first")
+        )
+        elig = occ.join(dup, "gk")
+    else:
+        dup_gks = (
+            counted.groupBy("gk")
+            .agg(F.count("*").alias("_c"))
+            .where(F.col("_c") > 1)
+            .select("gk")
+        )
+        occ_dup = occ.join(dup_gks, "gk").transform(stage("spans-dup"))
+        dup = occ_dup.groupBy("gk").agg(
+            F.min(F.struct("doc_id", "i")).alias("_first")
+        )
+        elig = occ_dup.join(dup, "gk")
     if keep == "first":
         elig = elig.where(
             ~(
