@@ -163,6 +163,10 @@ def lsh_duplicate_pairs(
     borderline band collisions at corpus scale (see the inline note)."""
     if hash_flavor not in ("md5", "xx64"):
         raise ValueError(f"unknown hash_flavor {hash_flavor!r}")
+    if shingle == "word_hash" and hash_flavor != "xx64":
+        # long-typed shingles require the xx64 band hash (minhash_bands
+        # enforces this on the unverified path; the verified path must too)
+        raise ValueError("shingle='word_hash' requires hash_flavor='xx64'")
     sets = None
     if verify_jaccard is not None:
         # r8: with verification on, shingle the corpus ONCE — stage the
